@@ -1,0 +1,252 @@
+"""Minimal mutable DOM on stdlib ``html.parser``.
+
+[canon: goose/parsers.py Parser — wraps lxml.html; node ports wrap
+cheerio.load(htmlparser2)]. No HTML parser library is installed in this
+environment (SURVEY.md §0.4), so this module vendors a defensive
+tree-builder on ``html.parser`` behind the same small surface Goose needs:
+tag/attr access, document-order traversal, sibling walks, node removal /
+insertion / drop-tag, and per-node score annotations (gravityScore).
+
+HTML5-ish recovery implemented (SURVEY.md §7.4 item 4): void elements,
+implied end tags for p / li / dt / dd / td / th / tr / option, raw-text
+script/style (html.parser CDATA mode), mismatched end tags ignored.
+Entity decoding: ``convert_charrefs=True`` (stdlib) — entities become text.
+
+All traversals are iterative (no recursion) so pathologically nested
+real-world HTML cannot blow the stack.
+"""
+
+from __future__ import annotations
+
+from html.parser import HTMLParser
+
+from gooselite.constants import P_CLOSING_TAGS, VOID_ELEMENTS
+from gooselite.text import inner_trim
+
+TEXT = "#text"
+COMMENT = "#comment"
+DOCUMENT = "#document"
+
+
+class ParseError(Exception):
+    """Raised when the tree-builder cannot recover from malformed input."""
+
+
+class Node:
+    """One DOM node. Element nodes carry tag/attrib/children; text and
+    comment nodes carry ``text`` and have tag ``#text`` / ``#comment``."""
+
+    __slots__ = ("tag", "attrib", "children", "parent", "text", "score", "gravity_nodes")
+
+    def __init__(self, tag: str, attrib: dict[str, str] | None = None, text: str | None = None):
+        self.tag = tag
+        self.attrib: dict[str, str] = attrib or {}
+        self.children: list[Node] = []
+        self.parent: Node | None = None
+        self.text = text
+        self.score: float | None = None   # gravityScore annotation (A11)
+        self.gravity_nodes: int = 0
+
+    # -- structure ----------------------------------------------------------
+    @property
+    def is_element(self) -> bool:
+        return not self.tag.startswith("#")
+
+    def append(self, child: "Node") -> None:
+        child.parent = self
+        self.children.append(child)
+
+    def insert(self, index: int, child: "Node") -> None:
+        child.parent = self
+        self.children.insert(index, child)
+
+    def remove_child(self, child: "Node") -> None:
+        self.children.remove(child)
+        child.parent = None
+
+    def detach(self) -> None:
+        if self.parent is not None:
+            self.parent.remove_child(self)
+
+    def drop_tag(self) -> None:
+        """Replace this element with its children, in place.
+
+        [canon: lxml drop_tag — used by Goose for <a>/<b>/<strong>/<i>/<br>/
+        <em>/<span> drop-tagging (A15, A6)]."""
+        parent = self.parent
+        if parent is None:
+            return
+        idx = parent.children.index(self)
+        kids = list(self.children)
+        parent.children[idx:idx + 1] = kids
+        for k in kids:
+            k.parent = parent
+        self.children = []
+        self.parent = None
+
+    # -- traversal (document order, iterative) ------------------------------
+    def iter_nodes(self):
+        """All descendant nodes (not self), document order."""
+        stack = list(reversed(self.children))
+        while stack:
+            node = stack.pop()
+            yield node
+            if node.children:
+                stack.extend(reversed(node.children))
+
+    def iter_elements(self):
+        for node in self.iter_nodes():
+            if node.is_element:
+                yield node
+
+    def itertext(self):
+        """Descendant text-node strings, document order.
+
+        [canon: lxml .itertext(); getText joins these with ' ']."""
+        for node in self.iter_nodes():
+            if node.tag == TEXT and node.text:
+                yield node.text
+
+    def get_elements_by_tag(self, *tags: str) -> list["Node"]:
+        """Descendants matching any tag, in document order. With multiple
+        tags, results are concatenated PER TAG GROUP — the canonical Goose
+        candidate order (all <p>, then all <pre>, then all <td>;
+        SURVEY.md A7 ordering matters for the boost index)."""
+        if len(tags) == 1:
+            tag = tags[0]
+            return [e for e in self.iter_elements() if e.tag == tag]
+        out: list[Node] = []
+        for tag in tags:
+            out.extend(e for e in self.iter_elements() if e.tag == tag)
+        return out
+
+    def previous_siblings(self) -> list["Node"]:
+        """Element siblings before self, nearest first (reverse document
+        order) — [canon: goose/extractors.py walk_siblings]."""
+        parent = self.parent
+        if parent is None:
+            return []
+        out: list[Node] = []
+        for sib in parent.children:
+            if sib is self:
+                break
+            if sib.is_element:
+                out.append(sib)
+        out.reverse()
+        return out
+
+    # -- text ----------------------------------------------------------------
+    def get_text(self) -> str:
+        """[canon: goose/parsers.py getText]: ' '.join(itertext) → innerTrim."""
+        return inner_trim(" ".join(self.itertext()))
+
+    def __repr__(self) -> str:  # debug aid only
+        if self.tag == TEXT:
+            return f"#text({self.text!r})"
+        ident = self.attrib.get("id") or self.attrib.get("class") or ""
+        return f"<{self.tag} {ident}>({len(self.children)} kids)"
+
+
+def new_text(value: str) -> Node:
+    return Node(TEXT, text=value)
+
+
+def new_element(tag: str, text: str | None = None) -> Node:
+    el = Node(tag)
+    if text is not None:
+        el.append(new_text(text))
+    return el
+
+
+# Barriers past which implied-end-tag searches never look.
+_SCOPE_BOUNDARY = frozenset((DOCUMENT, "html", "body", "table", "td", "th", "caption"))
+
+# starttag → (tags it implicitly closes, scope stop set)
+_IMPLIED_CLOSE: dict[str, tuple[frozenset[str], frozenset[str]]] = {
+    "li": (frozenset(("li",)), frozenset(("ol", "ul", "body", "html", DOCUMENT))),
+    "dt": (frozenset(("dt", "dd")), frozenset(("dl", "body", "html", DOCUMENT))),
+    "dd": (frozenset(("dt", "dd")), frozenset(("dl", "body", "html", DOCUMENT))),
+    "td": (frozenset(("td", "th")), frozenset(("tr", "table", "body", "html", DOCUMENT))),
+    "th": (frozenset(("td", "th")), frozenset(("tr", "table", "body", "html", DOCUMENT))),
+    "tr": (frozenset(("tr", "td", "th")), frozenset(("table", "thead", "tbody", "tfoot", "body", "html", DOCUMENT))),
+    "option": (frozenset(("option",)), frozenset(("select", "body", "html", DOCUMENT))),
+}
+
+
+class _TreeBuilder(HTMLParser):
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.root = Node(DOCUMENT)
+        self.stack: list[Node] = [self.root]
+
+    # helpers -----------------------------------------------------------------
+    def _top(self) -> Node:
+        return self.stack[-1]
+
+    def _close_implied(self, targets: frozenset[str], stops: frozenset[str]) -> None:
+        for i in range(len(self.stack) - 1, 0, -1):
+            tag = self.stack[i].tag
+            if tag in targets:
+                del self.stack[i:]
+                return
+            if tag in stops:
+                return
+
+    @staticmethod
+    def _attrs_to_dict(attrs) -> dict[str, str]:
+        out: dict[str, str] = {}
+        for name, value in attrs:
+            if name not in out:
+                out[name] = value if value is not None else ""
+        return out
+
+    # HTMLParser callbacks ----------------------------------------------------
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag in P_CLOSING_TAGS:
+            self._close_implied(frozenset(("p",)), _SCOPE_BOUNDARY)
+        implied = _IMPLIED_CLOSE.get(tag)
+        if implied is not None:
+            self._close_implied(*implied)
+        node = Node(tag, self._attrs_to_dict(attrs))
+        self._top().append(node)
+        if tag not in VOID_ELEMENTS:
+            self.stack.append(node)
+
+    def handle_startendtag(self, tag: str, attrs) -> None:
+        node = Node(tag, self._attrs_to_dict(attrs))
+        self._top().append(node)
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in VOID_ELEMENTS:
+            return
+        for i in range(len(self.stack) - 1, 0, -1):
+            if self.stack[i].tag == tag:
+                del self.stack[i:]
+                return
+        # mismatched end tag with no open counterpart: ignore (recovery)
+
+    def handle_data(self, data: str) -> None:
+        if data:
+            self._top().append(new_text(data))
+
+    def handle_comment(self, data: str) -> None:
+        self._top().append(Node(COMMENT, text=data))
+
+    # declarations / PIs / unknown: ignored
+    def handle_decl(self, decl: str) -> None:
+        pass
+
+    def handle_pi(self, data: str) -> None:
+        pass
+
+
+def parse_html(text: str) -> Node:
+    """Parse an HTML string into a mini-DOM; raises ParseError on
+    unrecoverable parser failures (rare — html.parser is lenient)."""
+    builder = _TreeBuilder()
+    try:
+        builder.feed(text)
+        builder.close()
+    except Exception as exc:  # html.parser can raise on pathological input
+        raise ParseError(str(exc)) from exc
+    return builder.root

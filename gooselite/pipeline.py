@@ -1,0 +1,113 @@
+"""extract_one — the full Goose pipeline for one document (SURVEY.md A20).
+
+[canon: goose/crawler.py Crawler.process] — ordered composition
+decode (A2) → parse (A3) → metadata (A4–A5) → clean (A6) → score/top-node
+(A7–A12) → siblings + post-cleanup (A13–A14) → format (A15), with
+early-outs: no html → empty Article; decode/parse failure → error status.
+
+This function is deliberately Spark-free: the Spark layer calls it in a
+loop per Arrow batch (SURVEY.md §2.5), and the L2 test asserts the Spark
+path equals this local oracle row-for-row.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any
+
+from gooselite.cleaner import clean_document
+from gooselite.encoding import DecodeError, decode_html
+from gooselite.formatter import get_formatted_text
+from gooselite.metadata import (
+    extract_tags,
+    get_canonical_link,
+    get_domain,
+    get_meta_description,
+    get_meta_keywords,
+    get_meta_lang,
+    get_title,
+)
+from gooselite.minidom import ParseError, parse_html
+from gooselite.scoring import calculate_best_node, post_cleanup
+from gooselite.stopwords_data import STOPWORDS
+from gooselite.text import resolve_language
+
+STATUS_OK = "ok"
+STATUS_EMPTY = "empty"
+STATUS_PARSE_ERROR = "parse_error"
+STATUS_DECODE_ERROR = "decode_error"
+
+
+def _empty_result(url: str, status: str, err: str | None, bytes_in: int,
+                  lang: str, parse_ms: float) -> dict[str, Any]:
+    return {
+        "url": url, "lang": lang, "title": "", "cleaned_text": "",
+        "meta_description": "", "meta_keywords": "", "meta_lang": None,
+        "canonical_link": "", "domain": get_domain(url), "tags": [],
+        "status": status, "err": err, "bytes_in": bytes_in,
+        "parse_ms": parse_ms,
+    }
+
+
+def extract_one(html: bytes | None, lang: str | None, url: str) -> dict[str, Any]:
+    """Extract the main article content of one page.
+
+    Returns a dict matching goose_spark.schema.EXTRACTED (minus warc_ts,
+    which the Spark layer passes through). ``lang`` in the result is the
+    EFFECTIVE language whose stopword table was used: the lang column is
+    primary (BASELINE.json:6), document meta-lang is the fallback, then
+    'en' (SURVEY.md A5).
+    """
+    t0 = time.perf_counter()
+    bytes_in = len(html) if html else 0
+    if not html:
+        return _empty_result(url, STATUS_EMPTY, "no html bytes", 0,
+                             resolve_language(lang), 0.0)
+
+    try:
+        text, _encoding = decode_html(html)
+    except DecodeError as exc:
+        return _empty_result(url, STATUS_DECODE_ERROR, str(exc), bytes_in,
+                             resolve_language(lang),
+                             (time.perf_counter() - t0) * 1000.0)
+
+    try:
+        root = parse_html(text)
+    except ParseError as exc:
+        return _empty_result(url, STATUS_PARSE_ERROR, str(exc), bytes_in,
+                             resolve_language(lang),
+                             (time.perf_counter() - t0) * 1000.0)
+
+    # metadata BEFORE cleaning (cleaner strips <meta>-adjacent structure)
+    title = get_title(root)
+    meta_description = get_meta_description(root)
+    meta_keywords = get_meta_keywords(root)
+    meta_lang = get_meta_lang(root)
+    canonical_link = get_canonical_link(root, url)
+    tags = extract_tags(root)
+
+    # A5: lang column primary, meta-lang fallback, then 'en'
+    if lang and lang.strip().lower()[:2] in STOPWORDS:
+        effective_lang = lang.strip().lower()[:2]
+    elif meta_lang and meta_lang in STOPWORDS:
+        effective_lang = meta_lang
+    else:
+        effective_lang = resolve_language(lang)
+
+    clean_document(root)
+    top_node = calculate_best_node(root, effective_lang)
+    cleaned_text = ""
+    if top_node is not None:
+        top_node = post_cleanup(top_node, effective_lang)
+        cleaned_text = get_formatted_text(top_node, effective_lang)
+
+    parse_ms = (time.perf_counter() - t0) * 1000.0
+    status = STATUS_OK if cleaned_text else STATUS_EMPTY
+    return {
+        "url": url, "lang": effective_lang, "title": title,
+        "cleaned_text": cleaned_text, "meta_description": meta_description,
+        "meta_keywords": meta_keywords, "meta_lang": meta_lang,
+        "canonical_link": canonical_link, "domain": get_domain(url),
+        "tags": tags, "status": status, "err": None,
+        "bytes_in": bytes_in, "parse_ms": parse_ms,
+    }

@@ -1,0 +1,75 @@
+"""Text utilities: innerTrim, WordStats, StopWords.
+
+[canon: goose/text.py — StopWords.get_stopword_count, innerTrim]
+(SURVEY.md A8; reference checkout empty at build time, SURVEY.md §0.1).
+"""
+
+from __future__ import annotations
+
+import re
+import string
+from dataclasses import dataclass, field
+
+from gooselite.stopwords_data import DEFAULT_LANGUAGE, STOPWORDS
+
+# \s with a str pattern matches Unicode whitespace incl. \xa0 (nbsp) —
+# exactly the "innerTrim" normalization of SURVEY.md §2.4 (A15):
+# collapse \s+ to one space, then strip.
+_WHITESPACE_RE = re.compile(r"\s+")
+
+# string.punctuation removal table [canon: goose/text.py remove_punctuation]
+_PUNCT_TABLE = str.maketrans("", "", string.punctuation)
+
+
+def inner_trim(value: str) -> str:
+    """Collapse all whitespace runs to a single space and strip."""
+    if not value:
+        return ""
+    return _WHITESPACE_RE.sub(" ", value).strip()
+
+
+def remove_punctuation(content: str) -> str:
+    return content.translate(_PUNCT_TABLE)
+
+
+@dataclass
+class WordStats:
+    """Per-text-block statistics [canon: goose/text.py WordStats]."""
+
+    word_count: int = 0
+    stop_word_count: int = 0
+    stop_words: list[str] = field(default_factory=list)
+
+
+def resolve_language(lang: str | None) -> str:
+    """Map a lang code to a shipped stopword table; unknown/None → 'en'.
+
+    The `lang` column is primary per BASELINE.json:6 ("keyed by the lang
+    column"); callers should pass meta-lang as fallback before None
+    (SURVEY.md A5).
+    """
+    if lang:
+        code = lang.strip().lower()[:2]
+        if code in STOPWORDS:
+            return code
+    return DEFAULT_LANGUAGE
+
+
+def get_stopword_count(content: str, lang: str | None = None) -> WordStats:
+    """Count tokens of `content` present in the per-language stopword set.
+
+    [canon: goose/text.py StopWords.get_stopword_count]: strip punctuation,
+    split on single spaces (content is expected inner-trimmed), membership
+    test lowercased.
+    """
+    ws = WordStats()
+    if not content:
+        return ws
+    table = STOPWORDS[resolve_language(lang)]
+    stripped = remove_punctuation(content)
+    candidate_words = stripped.split(" ")
+    overlapping = [w for w in candidate_words if w.lower() in table]
+    ws.word_count = len(candidate_words)
+    ws.stop_word_count = len(overlapping)
+    ws.stop_words = overlapping
+    return ws
