@@ -1,0 +1,209 @@
+"""Deterministic `pages` + `expected` fixture synthesis (FIXTURES.md §1–§2).
+
+Derives a Common-Crawl-style ``pages`` table (BASELINE.json:15 shape) from
+the driver's ``documents.parquet`` seed corpus — no external data, no RNG
+(all variation is doc_id arithmetic, seed-42 convention TESTDATA.md:5).
+
+The template is built so the correct extraction is derivable BY
+CONSTRUCTION (SURVEY.md §5.2): article paragraphs carry a per-language
+stopword prefix clearing every scoring threshold with margin; boilerplate
+wrappers use ids/classes from the cleaner blacklist AND are link-dense;
+the prelude sibling paragraph clears the absorption baseline. The golden
+``expected_text`` is therefore the prelude + paragraphs joined '\n\n'.
+
+Provenance rule (FIXTURES.md §2): these goldens prove pipeline correctness
+by construction; TRUE byte-identity to node-goose needs the reference's
+own fixture pairs, absent at build time (/root/reference empty,
+SURVEY.md §0.1).
+"""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime, timedelta, timezone
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from gooselite.stopwords_data import STOPWORDS
+
+EPOCH = datetime(2025, 1, 1, tzinfo=timezone.utc)
+
+# first 8 purely-alphabetic stopwords per language (sorted order) — the
+# paragraph prefix guaranteeing stopword_count >= 6 in every paragraph
+_PREFIX: dict[str, list[str]] = {
+    lang: sorted(w for w in table if w.isalpha())[:8]
+    for lang, table in STOPWORDS.items()
+}
+
+_LINKY = (
+    '<a href="/h">home page</a> <a href="/n">news now</a> '
+    '<a href="/t">top list</a> <a href="/m">more links</a>'
+)
+
+_HEAD = (
+    "<!DOCTYPE html>\n"
+    '<html lang="{lang}"><head><meta charset="{charset}">\n'
+    "<title>{title} | s{site}</title>\n"
+    '<meta name="description" content="{desc}">\n'
+    '<meta name="keywords" content="{keywords}">\n'
+    '<link rel="canonical" href="{canonical}">\n'
+    "</head><body>\n"
+)
+
+_BOILER = (
+    '<div id="navbar">{linky}</div>\n'
+    '<div class="sidebar">{linky}</div>\n'
+    "<script>var tracker = 1; function f(a,b) {{ return a<b; }}</script>\n"
+    "<style>.x {{ color: red; }}</style>\n"
+    "<!-- rendered by generator -->\n"
+)
+
+_TAIL = (
+    '<ul class="read-next"><li><a href="/r1">more stories</a></li>'
+    '<li><a href="/r2">other tales</a></li></ul>\n'
+    '<div id="footer">{linky} copyright</div>\n'
+    "</body></html>\n"
+)
+
+
+def _effective_lang(doc_lang: str | None) -> str:
+    if doc_lang and doc_lang.strip().lower()[:2] in STOPWORDS:
+        return doc_lang.strip().lower()[:2]
+    return "en"
+
+
+def _sentences(words: list[str]):
+    """Endless deterministic sentence stream from the doc's word pool."""
+    i = 0
+    n = len(words)
+    while True:
+        chunk = [words[(i + j) % n] for j in range(8)]
+        i += 8
+        yield " ".join(chunk) + "."
+
+
+def _build_doc(doc_id: int, text: str, lang: str | None) -> dict:
+    eff = _effective_lang(lang)
+    prefix_words = _PREFIX[eff]
+    words = text.split() or ["word"]
+    title = " ".join(words[:6])
+
+    # deterministic log-uniform target size 2KB..200KB, plus skew tail
+    r = ((doc_id * 2654435761) % 1000) / 1000.0
+    target = int(2048 * (100.0 ** r))
+    if doc_id % 250 == 0:
+        target = (5 + (doc_id // 250) % 16) * 1024 * 1024  # 5..20 MB
+
+    sent = _sentences(words)
+    paras: list[str] = []
+    total = 0
+    n_sent = 3 + (doc_id % 5)  # 3..7 sentences per para
+    while total < target or len(paras) < 3:
+        prefix = " ".join(prefix_words[(len(paras) + k) % 8] for k in range(6))
+        body = " ".join(next(sent) for _ in range(n_sent))
+        para = f"{prefix} {body}"
+        if doc_id % 50 == 29 and not paras:  # latin-1 row: accented word
+            para = "caf\xe9 " + para
+        paras.append(para)
+        total += len(para) + 7  # + <p></p>\n overhead
+
+    sibling = " ".join(prefix_words[k % 8] for k in range(12)) + " " + next(sent)
+    return {"title": title, "paras": paras, "sibling": sibling, "eff": eff}
+
+
+def _render(doc_id: int, built: dict, page_lang_attr: str, charset: str) -> str:
+    site = doc_id % 40
+    head = _HEAD.format(
+        lang=page_lang_attr, charset=charset, title=built["title"], site=site,
+        desc=f"summary of article {doc_id}", keywords=f"k{doc_id % 7}, k{doc_id % 11}",
+        canonical=f"/canon/{doc_id}",
+    )
+    paras_html = "\n".join(f"<p>{p}</p>" for p in built["paras"])
+    body = (
+        _BOILER.format(linky=_LINKY)
+        + f'<div class="prelude"><p>{built["sibling"]}</p></div>\n'
+        + f'<div class="article-body">\n{paras_html}\n</div>\n'
+        + _TAIL.format(linky=_LINKY)
+    )
+    return head + body
+
+
+def generate(documents_parquet: str, out_dir: str, copies: int = 1) -> tuple[str, str]:
+    """Synthesize pages.parquet + expected.parquet into out_dir.
+
+    Returns (pages_path, expected_path). Idempotent: skips if both exist.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    pages_path = os.path.join(out_dir, "pages.parquet")
+    expected_path = os.path.join(out_dir, "expected.parquet")
+    if os.path.exists(pages_path) and os.path.exists(expected_path):
+        return pages_path, expected_path
+
+    docs = pq.read_table(documents_parquet).to_pandas()
+    rows: list[dict] = []
+    goldens: list[dict] = []
+
+    for _, d in docs.iterrows():
+        doc_id = int(d.doc_id)
+        doc_lang = d.lang
+        built = _build_doc(doc_id, d.text or "", doc_lang)
+
+        null_lang = doc_id % 50 == 9          # ~2%: lang column NULL
+        latin1 = doc_id % 50 == 29            # ~2%: latin-1 + meta charset
+        null_html = doc_id % 100 == 7         # ~1%: NULL html
+        truncated = doc_id % 100 == 17        # ~1%: head-only truncation
+        dup = doc_id % 20 == 3                # ~5%: second (url, warc_ts+1h) row
+
+        charset = "iso-8859-1" if latin1 else "utf-8"
+        html_text = _render(doc_id, built, doc_lang or built["eff"], charset)
+        html_bytes: bytes | None = html_text.encode("iso-8859-1" if latin1 else "utf-8")
+
+        status = "ok"
+        expected_text = "\n\n".join([built["sibling"]] + built["paras"])
+        expected_title = built["title"]
+        if null_html:
+            html_bytes = None
+            status, expected_text, expected_title = "empty", "", ""
+        elif truncated:
+            cut = html_text.encode("utf-8").find(b"<title")
+            html_bytes = html_text.encode("utf-8")[:cut]
+            status, expected_text, expected_title = "empty", "", ""
+
+        for c in range(copies):
+            suffix = "" if c == 0 else f"-{c}"
+            url = f"https://site{doc_id % 40}.example/{built['eff']}/article/{doc_id}{suffix}"
+            ts = EPOCH + timedelta(seconds=(doc_id * 9973) % 31536000 + c * 60)
+            lang_col = None if null_lang else doc_lang
+            rows.append({"url": url, "warc_ts": ts, "html": html_bytes,
+                         "text": d.text, "lang": lang_col})
+            if dup:
+                rows.append({"url": url, "warc_ts": ts + timedelta(hours=1),
+                             "html": html_bytes, "text": d.text, "lang": lang_col})
+            goldens.append({"url": url, "expected_text": expected_text,
+                            "expected_title": expected_title,
+                            "expected_status": status, "lang": built["eff"]})
+
+    pages_schema = pa.schema([
+        ("url", pa.string()), ("warc_ts", pa.timestamp("us", tz="UTC")),
+        ("html", pa.binary()), ("text", pa.string()), ("lang", pa.string()),
+    ])
+    pages_tbl = pa.Table.from_pandas(pd.DataFrame(rows), schema=pages_schema,
+                                     preserve_index=False)
+    pq.write_table(pages_tbl, pages_path)
+    exp_tbl = pa.Table.from_pandas(pd.DataFrame(goldens), preserve_index=False)
+    pq.write_table(exp_tbl, expected_path)
+    return pages_path, expected_path
+
+
+def fixture_dir_for(sf_dir: str, copies: int = 1) -> str:
+    """Deterministic cache location under /tmp for a given sf dir."""
+    tag = os.path.basename(os.path.normpath(sf_dir)) + (f"x{copies}" if copies > 1 else "")
+    return os.path.join("/tmp", "goose_fixtures", tag)
+
+
+def ensure_pages(sf_dir: str, copies: int = 1) -> tuple[str, str]:
+    """Generate (cached) fixtures for a testdata sf dir; returns paths."""
+    out = fixture_dir_for(sf_dir, copies)
+    return generate(os.path.join(sf_dir, "documents.parquet"), out, copies)

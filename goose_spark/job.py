@@ -1,0 +1,182 @@
+"""The extraction job: scan → dedupe → resume anti-join → salt → extract →
+write → metrics → checkpoint (SURVEY.md §3.2).
+
+Scale design (the part that must hold at 10^12 documents / 1000 executors):
+
+* **Column pruning first.** The ``html`` column dominates bytes; every
+  plan selects only (url, warc_ts, html, lang) before the UDF and lets
+  Catalyst push the projection into the Parquet/Iceberg scan — never
+  ``select('*')`` (SURVEY.md §4.2).
+* **Dedupe + resume before the expensive stage.** row_number dedupe (B11)
+  and the checkpoint LEFT ANTI join (B4) run on (url, warc_ts) only —
+  Spark 4 pushes the projection down so the shuffle carries html only for
+  surviving rows... html must ride the dedupe shuffle; at cluster scale
+  prefer bucketed-by-url table layout so both become shuffle-free. The
+  anti-join's right side (checkpoint urls) is small per run → broadcast.
+* **Salted repartition (B15).** ``repartition(P, pmod(xxhash64(url), P))``
+  spreads documents uniformly; AQE rebalances by bytes but cannot split
+  inside a UDF stage, so uniform row spread is done explicitly
+  (BASELINE.json:6 "salted repartitioning").
+* **Size-bucketed Arrow batches (B16).** Spark 4.1 supports
+  ``spark.sql.execution.arrow.maxBytesPerBatch`` — one giant document
+  rides in its own small batch while 2 KB pages batch by the hundreds;
+  plus a ``bucket = floor(log2(bytes))`` column for metrics/skew triage.
+* **Exactly-once-ish resume (B21).** EXTRACTED is written before the
+  checkpoint append; on restart the anti-join plus write-side idempotence
+  make replays safe.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from goose_spark.schema import EXTRACTED
+from goose_spark.udf import extract_batches
+
+# Arrow batch caps (B16): ≤64 MB or ≤256 rows per batch, whichever first.
+ARROW_MAX_BYTES = str(64 * 1024 * 1024)
+ARROW_MAX_RECORDS = "256"
+
+
+def configure_session(spark: SparkSession) -> None:
+    """Session knobs for the extraction stage (idempotent)."""
+    spark.conf.set("spark.sql.execution.arrow.maxBytesPerBatch", ARROW_MAX_BYTES)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", ARROW_MAX_RECORDS)
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def read_pages(spark: SparkSession, path: str) -> DataFrame:
+    """B1: scan the pages table. Locally Parquet; on a real cluster this is
+    ``spark.read.format("iceberg").load(...)`` with partition pruning on
+    days(warc_ts) / bucket(url) (SURVEY.md §1.2; no Iceberg jar on this box,
+    §0.4 — DDL documented in README)."""
+    return spark.read.parquet(path)
+
+
+def dedupe_latest(pages: DataFrame) -> DataFrame:
+    """B11: keep the latest warc_ts row per url (deterministic tie-break on
+    the full ordering)."""
+    w = Window.partitionBy("url").orderBy(F.col("warc_ts").desc_nulls_last())
+    return (
+        pages.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def resume_filter(pages: DataFrame, checkpoint: DataFrame | None,
+                  run_id: str | None = None) -> DataFrame:
+    """B4: drop urls already completed — LEFT ANTI join against the
+    checkpoint table. The checkpoint side is urls-only (small relative to
+    pages) → Spark broadcasts it under autoBroadcastJoinThreshold; at
+    10^12-row scale bucket both sides by url instead."""
+    if checkpoint is None:
+        return pages
+    ckpt = checkpoint
+    if run_id is not None:
+        ckpt = ckpt.filter(F.col("run_id") == run_id)
+    return pages.join(ckpt.select("url").distinct(), on="url", how="left_anti")
+
+
+def with_bucket(pages: DataFrame) -> DataFrame:
+    """B16: size bucket = floor(log2(html bytes)); null/empty html → 0."""
+    blen = F.length(F.col("html"))
+    return pages.withColumn(
+        "bucket",
+        F.when(blen.isNull() | (blen <= 0), F.lit(0))
+        .otherwise(F.floor(F.log2(blen)))
+        .cast("int"),
+    )
+
+
+def salted_repartition(df: DataFrame, partitions: int) -> DataFrame:
+    """B15: uniform spread of documents over `partitions` via
+    pmod(xxhash64(url), P) — giant-HTML skew cannot be rebalanced by AQE
+    inside the UDF stage, so do it explicitly."""
+    return df.repartition(
+        partitions, F.pmod(F.xxhash64(F.col("url")), F.lit(partitions))
+    )
+
+
+def extract(pages: DataFrame, partitions: int | None = None) -> DataFrame:
+    """The extraction operator (B17): prune columns, bucket, salt, then one
+    mapInPandas pass with gooselite."""
+    spark = pages.sparkSession
+    configure_session(spark)
+    if partitions is None:
+        partitions = spark.sparkContext.defaultParallelism * 2
+    cols = pages.select("url", "warc_ts", "html", "lang")
+    bucketed = with_bucket(cols)
+    salted = salted_repartition(bucketed, partitions)
+    return salted.mapInPandas(extract_batches, schema=EXTRACTED)
+
+
+def prepare(pages: DataFrame, checkpoint: DataFrame | None = None,
+            run_id: str | None = None) -> DataFrame:
+    """dedupe → resume filter (the pre-extraction relational shell)."""
+    return resume_filter(dedupe_latest(pages), checkpoint, run_id)
+
+
+def metrics_from_extracted(extracted: DataFrame, run_id: str) -> DataFrame:
+    """B8: per-(partition, bucket, lang) lineage metrics (FIXTURES.md §3).
+    Pure hash aggregation with map-side partial combine — no extra pass
+    over html."""
+    return (
+        extracted.groupBy("partition_id", "bucket", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("docs_in"),
+            F.sum((F.col("status") == "ok").cast("long")).alias("ok"),
+            F.sum((F.col("status") == "parse_error").cast("long")).alias("parse_failures"),
+            F.sum((F.col("status") == "empty").cast("long")).alias("empty_extractions"),
+            F.sum((F.col("status") == "decode_error").cast("long")).alias("decode_errors"),
+            F.sum("bytes_in").alias("bytes_processed"),
+            F.sum("parse_ms").alias("wall_ms"),
+        )
+        .withColumn("run_id", F.lit(run_id))
+        .withColumn("started_ts", F.current_timestamp())
+        .select("run_id", "partition_id", "bucket", "lang", "docs_in", "ok",
+                "parse_failures", "empty_extractions", "decode_errors",
+                "bytes_processed", "wall_ms", "started_ts")
+    )
+
+
+def run_job(spark: SparkSession, pages_path: str, out_dir: str, run_id: str,
+            partitions: int | None = None) -> dict:
+    """Full batch job with durable writes + resumable checkpoint (B20/B21).
+
+    Write order is the exactly-once-ish contract: EXTRACTED first, then
+    METRICS, then the checkpoint rows for the urls just completed.
+    """
+    configure_session(spark)
+    extracted_path = os.path.join(out_dir, "extracted")
+    metrics_path = os.path.join(out_dir, "metrics")
+    ckpt_path = os.path.join(out_dir, "checkpoint")
+
+    checkpoint = None
+    if os.path.exists(ckpt_path):
+        checkpoint = spark.read.parquet(ckpt_path)
+
+    pages = read_pages(spark, pages_path)
+    todo = prepare(pages, checkpoint, run_id)
+    extracted = extract(todo, partitions)
+
+    # B20: partitioned append; partition by size bucket (dt at real scale)
+    extracted.write.mode("append").partitionBy("bucket").parquet(extracted_path)
+
+    done = spark.read.parquet(extracted_path)
+    metrics_from_extracted(done, run_id).write.mode("append").parquet(metrics_path)
+
+    # B21: checkpoint append strictly AFTER the durable extracted write
+    (
+        done.select("url").distinct()
+        .withColumn("run_id", F.lit(run_id))
+        .withColumn("completed_ts", F.current_timestamp())
+        .select("run_id", "url", "completed_ts")
+        .write.mode("overwrite").parquet(ckpt_path)
+    )
+    n = done.count()
+    return {"extracted_rows": n, "extracted_path": extracted_path,
+            "metrics_path": metrics_path, "checkpoint_path": ckpt_path}

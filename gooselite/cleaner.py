@@ -13,7 +13,7 @@ from __future__ import annotations
 import re
 
 from gooselite import constants as C
-from gooselite.minidom import COMMENT, Node, new_element, new_text
+from gooselite.minidom import COMMENT, Node, new_element, new_text, remove_all
 
 
 def clean_document(root: Node) -> Node:
@@ -46,11 +46,9 @@ def _remove_drop_caps(root: Node) -> None:
 
 
 def _remove_scripts_styles_comments(root: Node) -> None:
-    for tag in ("script", "style"):
-        for node in root.get_elements_by_tag(tag):
-            node.detach()
-    for node in [n for n in root.iter_nodes() if n.tag == COMMENT]:
-        node.detach()
+    doomed = root.get_elements_by_tag("script") + root.get_elements_by_tag("style")
+    doomed += [n for n in root.iter_nodes() if n.tag == COMMENT]
+    remove_all(doomed)
 
 
 def _matches(node: Node, rx: re.Pattern[str], attrs: tuple[str, ...]) -> bool:
@@ -63,11 +61,8 @@ def _matches(node: Node, rx: re.Pattern[str], attrs: tuple[str, ...]) -> bool:
 
 def _remove_nodes_matching(root: Node, rx: re.Pattern[str],
                            attrs: tuple[str, ...] = ("id", "class", "name")) -> None:
-    # materialize first: we mutate while walking
-    doomed = [e for e in root.iter_elements() if _matches(e, rx, attrs)]
-    for node in doomed:
-        if node.parent is not None:  # may already be inside a removed subtree
-            node.detach()
+    # materialize first (we mutate while walking), then batch-remove
+    remove_all([e for e in root.iter_elements() if _matches(e, rx, attrs)])
 
 
 def _clean_bad_tags(root: Node) -> None:

@@ -18,7 +18,7 @@ drop-tagging — identical observable output under innerTrim.
 from __future__ import annotations
 
 from gooselite import constants as C
-from gooselite.minidom import Node
+from gooselite.minidom import Node, remove_all
 from gooselite.text import get_stopword_count, inner_trim
 
 
@@ -27,9 +27,7 @@ def _remove_negativescore_nodes(top_node: Node) -> None:
         e for e in top_node.iter_elements()
         if e.score is not None and int(e.score) < C.FORMATTER_MIN_NODE_SCORE
     ]
-    for e in doomed:
-        if e.parent is not None:
-            e.detach()
+    remove_all(doomed)
 
 
 def _drop_tags(top_node: Node, tags: tuple[str, ...]) -> None:
@@ -39,16 +37,42 @@ def _drop_tags(top_node: Node, tags: tuple[str, ...]) -> None:
 
 
 def _remove_fewwords_paragraphs(top_node: Node, lang: str | None) -> None:
-    all_nodes = list(top_node.iter_elements())
-    all_nodes.reverse()
-    for e in all_nodes:
-        if e.parent is None:  # already removed inside a doomed subtree
-            continue
-        stats = get_stopword_count(e.get_text(), lang)
-        if (stats.stop_word_count < C.FORMATTER_MIN_PARA_STOPWORDS
-                and not e.get_elements_by_tag("object")
-                and not e.get_elements_by_tag("embed")):
-            e.detach()
+    """Remove elements with stopword_count < 3 (object/embed-containing
+    exempt), evaluating in reverse document order so ancestors see the
+    already-pruned text of their descendants.
+
+    [canon: outputformatters.py remove_fewwords_paragraphs — sequential
+    reversed() loop]. Reverse document order is bottom-up (all descendants
+    of X precede X in reversed pre-order), so this is implemented as one
+    memoized bottom-up pass with a single batched removal — identical
+    decisions, O(n) instead of the naive O(n²) on skew-tail pages.
+    """
+    live_text: dict[int, str] = {}      # id(element) → text after pruning below it
+    live_media: dict[int, int] = {}     # id(element) → live object/embed descendants
+    doomed: list[Node] = []
+    ordered = list(top_node.iter_elements())
+    for e in reversed(ordered):
+        parts: list[str] = []
+        desc_media = 0
+        for child in e.children:
+            if child.is_element:
+                ctext = live_text.get(id(child))
+                if ctext is None:  # child was doomed (empty-kept stores "")
+                    continue
+                parts.append(ctext)
+                desc_media += live_media.get(id(child), 0)
+            elif child.tag == "#text" and child.text:
+                parts.append(child.text)
+        text = inner_trim(" ".join(parts))
+        stats = get_stopword_count(text, lang)
+        # exemption counts object/embed DESCENDANTS only (canonical
+        # getElementsByTag semantics — an element never matches itself)
+        if stats.stop_word_count < C.FORMATTER_MIN_PARA_STOPWORDS and desc_media == 0:
+            doomed.append(e)
+        else:
+            live_text[id(e)] = text
+            live_media[id(e)] = desc_media + (1 if e.tag in ("object", "embed") else 0)
+    remove_all(doomed)
 
 
 def _convert_to_text(top_node: Node) -> str:

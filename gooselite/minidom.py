@@ -147,6 +147,26 @@ class Node:
         return f"<{self.tag} {ident}>({len(self.children)} kids)"
 
 
+def remove_all(nodes: list["Node"]) -> None:
+    """Batch-remove nodes: one children-list rebuild per affected parent.
+
+    Per-node ``detach()`` is O(len(parent.children)) each (list.remove);
+    on Common-Crawl skew-tail pages a parent can hold 10^5 children and a
+    cleanup pass can doom most of them — per-node removal would be O(n²).
+    """
+    if not nodes:
+        return
+    doomed = set(map(id, nodes))
+    parents: dict[int, Node] = {}
+    for n in nodes:
+        if n.parent is not None:
+            parents[id(n.parent)] = n.parent
+    for parent in parents.values():
+        parent.children = [c for c in parent.children if id(c) not in doomed]
+    for n in nodes:
+        n.parent = None
+
+
 def new_text(value: str) -> Node:
     return Node(TEXT, text=value)
 

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from gooselite import constants as C
 from gooselite.minidom import Node, new_element
-from gooselite.text import get_stopword_count
+from gooselite.text import WordStats, get_stopword_count
 
 
 def is_highlink_density(node: Node, lang: str | None = None) -> bool:
@@ -42,7 +42,15 @@ def _update_node_count(node: Node, add: int) -> None:
 def is_boostable(node: Node, lang: str | None) -> bool:
     """A10 precondition: a previous sibling <p> within BOOST_SIBLING_REACH
     steps has stopword_count > BOOST_MIN_STOPWORDS.
-    [canon: extractors.py is_boostable — walk_siblings = previous siblings]."""
+    [canon: extractors.py is_boostable — walk_siblings = previous siblings].
+
+    Decision rule (equivalent, nearest-first): True iff one of the nearest
+    BOOST_SIBLING_REACH previous <p> siblings has stopword_count >
+    BOOST_MIN_STOPWORDS. Kept for unit-level parity tests; the hot path in
+    :func:`calculate_best_node` precomputes this in one left-to-right pass
+    per parent (the naive per-candidate sibling walk is O(n²) on
+    Common-Crawl skew-tail pages with 10^5 sibling paragraphs).
+    """
     steps_away = 0
     for sib in node.previous_siblings():
         if sib.tag == "p":
@@ -55,26 +63,60 @@ def is_boostable(node: Node, lang: str | None) -> bool:
     return False
 
 
+def _precompute_boostable(candidates: list[Node], lang: str | None,
+                          stats_cache: dict[int, WordStats]) -> dict[int, bool]:
+    """One pass per parent: for each candidate, whether any of its nearest
+    BOOST_SIBLING_REACH previous <p> siblings has stopword_count >
+    BOOST_MIN_STOPWORDS (same decision as :func:`is_boostable`)."""
+    wanted = {id(n) for n in candidates}
+    parents: list[Node] = []
+    seen_parents: set[int] = set()
+    for n in candidates:
+        p = n.parent
+        if p is not None and id(p) not in seen_parents:
+            seen_parents.add(id(p))
+            parents.append(p)
+    out: dict[int, bool] = {}
+    reach = C.BOOST_SIBLING_REACH
+    for parent in parents:
+        recent_p_flags: list[bool] = []  # nearest-last; True = count > threshold
+        for child in parent.children:
+            if id(child) in wanted:
+                out[id(child)] = any(recent_p_flags[-reach:])
+            if child.is_element and child.tag == "p":
+                stats = stats_cache.get(id(child))
+                if stats is None:
+                    stats = get_stopword_count(child.get_text(), lang)
+                    stats_cache[id(child)] = stats
+                recent_p_flags.append(stats.stop_word_count > C.BOOST_MIN_STOPWORDS)
+    return out
+
+
 def calculate_best_node(root: Node, lang: str | None) -> Node | None:
     """A7–A12: enumerate candidates, score, propagate to parents and
     grandparents, return argmax parent (first-in-document-order tie-break)."""
     candidates = root.get_elements_by_tag(*C.CANDIDATE_TAGS)
 
+    stats_cache: dict[int, WordStats] = {}
     nodes_with_text: list[Node] = []
     for node in candidates:
         stats = get_stopword_count(node.get_text(), lang)
+        stats_cache[id(node)] = stats
         if stats.stop_word_count > C.CANDIDATE_MIN_STOPWORDS and not is_highlink_density(node, lang):
             nodes_with_text.append(node)
+
+    boostable = _precompute_boostable(nodes_with_text, lang, stats_cache)
 
     nodes_number = len(nodes_with_text)
     negative_scoring = 0.0
     bottom_negativescore_nodes = nodes_number * C.NEGATIVE_SCORING_BOTTOM_FRACTION
     starting_boost = 1.0
     parent_nodes: list[Node] = []
+    parent_seen: set[int] = set()
 
     for i, node in enumerate(nodes_with_text):
         boost_score = 0.0
-        if is_boostable(node, lang):
+        if boostable.get(id(node), False):
             boost_score = (1.0 / starting_boost) * C.BOOST_BASE
             starting_boost += 1
         if nodes_number > C.NEGATIVE_SCORING_MIN_NODES:
@@ -85,7 +127,7 @@ def calculate_best_node(root: Node, lang: str | None) -> Node | None:
                 if negscore > C.NEGATIVE_SCORING_CLAMP_TOTAL:
                     boost_score = float(C.NEGATIVE_SCORING_CLAMP_VALUE)
 
-        stats = get_stopword_count(node.get_text(), lang)
+        stats = stats_cache[id(node)]
         upscore = int(stats.stop_word_count + boost_score)
 
         parent = node.parent
@@ -93,13 +135,15 @@ def calculate_best_node(root: Node, lang: str | None) -> Node | None:
             continue
         _update_score(parent, upscore)
         _update_node_count(parent, 1)
-        if parent not in parent_nodes:
+        if id(parent) not in parent_seen:
+            parent_seen.add(id(parent))
             parent_nodes.append(parent)
         grandparent = parent.parent
         if grandparent is not None:
             _update_score(grandparent, upscore / C.GRANDPARENT_SCORE_DIVISOR)
             _update_node_count(grandparent, 1)
-            if grandparent not in parent_nodes:
+            if id(grandparent) not in parent_seen:
+                parent_seen.add(id(grandparent))
                 parent_nodes.append(grandparent)
 
     top_node: Node | None = None

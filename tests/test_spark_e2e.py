@@ -1,0 +1,112 @@
+"""L2 tests (SURVEY.md §5.2): Spark mapInPandas output ≡ local
+gooselite.extract_one oracle, byte-identical, under multiple partitionings
+and Arrow batch sizes; plus the job-level resume contract."""
+
+import os
+import shutil
+
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from goose_spark import job as J
+
+
+@pytest.fixture(scope="module")
+def extracted_and_expected(spark, sf0001_fixtures):
+    pages_path, expected_path = sf0001_fixtures
+    pages = J.read_pages(spark, pages_path)
+    out = J.extract(J.prepare(pages), partitions=8).toPandas()
+    exp = pq.read_table(expected_path).to_pandas()
+    return out, exp
+
+
+def test_spark_matches_goldens_byte_identical(extracted_and_expected):
+    out, exp = extracted_and_expected
+    assert len(out) == len(exp)
+    merged = out.merge(exp, on="url", how="inner", validate="1:1")
+    assert len(merged) == len(exp)
+    text_eq = merged.cleaned_text == merged.expected_text
+    assert text_eq.all(), merged.loc[~text_eq, "url"].head().tolist()
+    # explicit byte-level check (utf-8), not just str equality
+    for _, r in merged.head(50).iterrows():
+        assert r.cleaned_text.encode("utf-8") == r.expected_text.encode("utf-8")
+    assert (merged.status == merged.expected_status).all()
+    ok = merged[merged.expected_status == "ok"]
+    assert (ok.title == ok.expected_title).all()
+    # effective lang matches the golden's effective lang
+    assert (merged.lang_x == merged.lang_y).all()
+
+
+def test_status_and_metrics_reconcile(spark, extracted_and_expected):
+    out, exp = extracted_and_expected
+    sdf = spark.createDataFrame(out[["partition_id", "bucket", "lang", "status",
+                                     "bytes_in", "parse_ms"]])
+    m = J.metrics_from_extracted(sdf, "t").toPandas()
+    assert m.docs_in.sum() == len(out)
+    assert (m.ok + m.parse_failures + m.empty_extractions + m.decode_errors).sum() == len(out)
+    assert m.bytes_processed.sum() == out.bytes_in.sum()
+
+
+def test_partitioning_invariance(spark, sf0001_fixtures, extracted_and_expected):
+    """B15: result identical under different salted partition counts."""
+    pages_path, _ = sf0001_fixtures
+    base, _ = extracted_and_expected
+    pages = J.read_pages(spark, pages_path)
+    alt = J.extract(J.prepare(pages), partitions=3).toPandas()
+    b = base.sort_values("url")[["url", "cleaned_text", "status", "title"]].reset_index(drop=True)
+    a = alt.sort_values("url")[["url", "cleaned_text", "status", "title"]].reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_arrow_batch_size_invariance(spark, sf0001_fixtures, extracted_and_expected):
+    """B16: result identical under a tiny Arrow batch cap."""
+    pages_path, _ = sf0001_fixtures
+    base, _ = extracted_and_expected
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    try:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+        pages = J.read_pages(spark, pages_path)
+        alt = J.extract(J.prepare(pages), partitions=8).toPandas()
+    finally:
+        if old is not None:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    b = base.sort_values("url")[["url", "cleaned_text", "status"]].reset_index(drop=True)
+    a = alt.sort_values("url")[["url", "cleaned_text", "status"]].reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_dedupe_keeps_latest(spark, sf0001_fixtures):
+    pages_path, _ = sf0001_fixtures
+    pages = J.read_pages(spark, pages_path)
+    raw = pages.count()
+    deduped = J.dedupe_latest(pages)
+    n = deduped.count()
+    assert n < raw  # fixture contains ~5% dup rows
+    assert deduped.groupBy("url").count().filter("count > 1").count() == 0
+
+
+def test_resume_job_kill_and_rerun(spark, sf0001_fixtures, tmp_path_factory):
+    """B21/§5.4: run on half the corpus, then full corpus with same run-id —
+    second run must extract only the missing urls; final result equals a
+    single-shot run (exceptAll both ways empty, B13)."""
+    pages_path, _ = sf0001_fixtures
+    out_dir = str(tmp_path_factory.mktemp("resume"))
+    pages = J.read_pages(spark, pages_path)
+    half = pages.filter(F.xxhash64("url") % 2 == 0)
+    half_path = os.path.join(out_dir, "pages_half")
+    half.write.parquet(half_path)
+
+    r1 = J.run_job(spark, half_path, out_dir, run_id="r", partitions=4)
+    r2 = J.run_job(spark, pages_path, out_dir, run_id="r", partitions=4)
+    assert r2["extracted_rows"] > r1["extracted_rows"]
+
+    resumed = spark.read.parquet(r2["extracted_path"]).select("url", "cleaned_text", "status")
+    single_dir = str(tmp_path_factory.mktemp("single"))
+    J.run_job(spark, pages_path, single_dir, run_id="s", partitions=4)
+    single = spark.read.parquet(os.path.join(single_dir, "extracted")).select(
+        "url", "cleaned_text", "status")
+    assert resumed.exceptAll(single).count() == 0
+    assert single.exceptAll(resumed).count() == 0
+    shutil.rmtree(out_dir, ignore_errors=True)
