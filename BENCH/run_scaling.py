@@ -1,0 +1,114 @@
+#!/usr/bin/env python
+"""Scaling-efficiency evidence (BASELINE.json:2,14 — ≥0.8 from N to 4N).
+
+Sandbox realization (task brief; SURVEY.md §5.4): the same extraction job,
+same input, at local[8] vs local[32] on this 32-core box. Each parallelism
+level runs in its OWN subprocess/JVM; we time only the extraction stage
+(fixtures pre-generated and cached, session bootstrap excluded by timing
+inside the child after the session is up and a warmup pass has run).
+
+Usage:
+  python BENCH/run_scaling.py [--sf-dir /root/testdata/sf0.1] [--copies 4]
+                              [--runs 3] [--levels 8,32]
+Writes BENCH/scaling_{level}.json per run and prints a summary JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import statistics
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+CHILD = r"""
+import json, os, sys, time
+sys.path.insert(0, {repo!r})
+from pyspark.sql import SparkSession, functions as F
+from goose_spark import job as J
+
+cpus = {cpus}
+spark = (SparkSession.builder.master(f"local[{{cpus}}]")
+         .appName(f"goose-scaling-{{cpus}}")
+         .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+         .config("spark.sql.session.timeZone", "UTC")
+         .config("spark.ui.enabled", "false")
+         .config("spark.driver.memory", "24g")
+         .getOrCreate())
+J.configure_session(spark)
+
+pages_path = {pages_path!r}
+# warmup: touch the input + spin up python workers on a tiny slice
+J.extract(J.prepare(J.read_pages(spark, pages_path).limit(64)), partitions=cpus).count()
+
+t0 = time.perf_counter()
+out = J.extract(J.prepare(J.read_pages(spark, pages_path)), partitions=cpus * 2)
+row = out.agg(F.count(F.lit(1)).alias("docs"), F.sum("bytes_in").alias("b")).collect()[0]
+dt = time.perf_counter() - t0
+print("RESULT " + json.dumps({{"cpus": cpus, "sec": dt, "docs": int(row["docs"]),
+                               "mb": round((row["b"] or 0) / 1e6, 1),
+                               "docs_per_sec": round(row["docs"] / dt, 2)}}))
+spark.stop()
+"""
+
+
+def run_level(cpus: int, pages_path: str) -> dict:
+    code = CHILD.format(repo=REPO, cpus=cpus, pages_path=pages_path)
+    proc = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                          text=True, timeout=3600)
+    for line in proc.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    raise RuntimeError(f"level {cpus} failed:\n{proc.stdout[-2000:]}\n{proc.stderr[-4000:]}")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument("--copies", type=int, default=4,
+                    help="fixture corpus multiplier so per-core work >> largest doc")
+    ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--levels", default="8,32")
+    args = ap.parse_args()
+
+    sys.path.insert(0, REPO)
+    from goose_spark.fixtures import ensure_pages
+
+    pages_path, _ = ensure_pages(args.sf_dir, copies=args.copies)
+    levels = [int(x) for x in args.levels.split(",")]
+
+    results: dict[int, list[dict]] = {}
+    for level in levels:
+        results[level] = []
+        for r in range(args.runs):
+            res = run_level(level, pages_path)
+            results[level].append(res)
+            print(f"# local[{level}] run {r + 1}/{args.runs}: "
+                  f"{res['sec']:.1f}s, {res['docs_per_sec']} docs/s", file=sys.stderr)
+
+    summary = {}
+    for level, runs in results.items():
+        med = statistics.median(r["sec"] for r in runs)
+        summary[level] = {"median_sec": round(med, 2),
+                          "docs": runs[0]["docs"], "mb": runs[0]["mb"],
+                          "docs_per_sec": round(runs[0]["docs"] / med, 2),
+                          "all_sec": [round(r["sec"], 2) for r in runs]}
+    lo, hi = min(levels), max(levels)
+    speedup = summary[lo]["median_sec"] / summary[hi]["median_sec"]
+    ideal = hi / lo
+    eff = speedup / ideal
+    out = {"levels": summary, "speedup": round(speedup, 3),
+           "ideal": ideal, "scaling_efficiency": round(eff, 3),
+           "gate": "PASS" if eff >= 0.8 else "FAIL",
+           "corpus": {"sf_dir": args.sf_dir, "copies": args.copies,
+                      "pages_path": pages_path}}
+    with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,92 @@
+#!/usr/bin/env python
+"""Headline benchmark (driver contract): runs the flagship extraction +
+headline relational/text operators at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line. Fixture synthesis (cached in /tmp) is excluded from timings.
+
+Scaling evidence (N vs 4N, BASELINE.md) is produced separately by
+BENCH/run_scaling.py — two parallelism levels need two JVMs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def build_session(cpus: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("goose-bench")
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "24g")
+        .getOrCreate()
+    )
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(os.path.basename(os.path.normpath(sf_dir)).replace("sf", "") or 0)
+
+    from pyspark.sql import functions as F
+
+    from goose_spark import job as J
+    from goose_spark.fixtures import ensure_pages
+
+    pages_path, _ = ensure_pages(sf_dir)  # cached; generation NOT timed
+    spark = build_session(cpus)
+    J.configure_session(spark)
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    # --- flagship: the extraction pipeline (dedupe → salt → mapInPandas) ---
+    t0 = time.perf_counter()
+    out = J.extract(J.prepare(J.read_pages(spark, pages_path)), partitions=cpus * 2)
+    row = out.agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum(F.length("cleaned_text")).alias("chars_out"),
+        F.sum("bytes_in").alias("bytes_in"),
+    ).collect()[0]
+    timings["q_extract"] = time.perf_counter() - t0
+    extras["docs_extracted"] = int(row["docs"])
+    extras["mb_in"] = round((row["bytes_in"] or 0) / 1e6, 1)
+    extras["docs_per_sec"] = round(row["docs"] / timings["q_extract"], 2)
+    extras["mb_per_sec"] = round((row["bytes_in"] or 0) / 1e6 / timings["q_extract"], 2)
+
+    # --- headline relational / text / similarity operators ---
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    for name in ("q_hash_agg", "q_window_dedupe", "q_equi_join_3way", "q_topk",
+                 "q_dedup_exact", "q_token_count", "q_fingerprint",
+                 "q_minhash_pairs", "q_simhash", "q_ann_cosine_topk"):
+        t0 = time.perf_counter()
+        n = qs[name](spark, sf_dir).count()
+        timings[name] = time.perf_counter() - t0
+        _ = n
+
+    total = sum(timings.values())
+    result = {
+        "metric": "headline_suite_sec",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "sf": sf,
+        "cpus": cpus,
+        **extras,
+    }
+    print(json.dumps(result))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    main()

@@ -1,0 +1,273 @@
+"""Training-data pipeline operators over the ``documents`` corpus:
+deduplication (exact, MinHash+LSH, SimHash, n-gram Jaccard), text analysis
+(language-ID, quality scoring, token counting, fingerprinting).
+
+Design: everything that CAN be a JVM-side expression IS one — the MinHash
+signature, LSH banding, and exact Jaccard verification are pure
+``pyspark.sql.functions`` (whole-stage codegen, no Python in the hot
+path). Only SimHash and language-ID use Arrow-batched pandas UDFs
+(bit-twiddling / per-language table lookups that built-ins can't express).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from goose_spark.queries import load
+
+# ------------------------------------------------------------ exact dedup --
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on normalized text; keeper = min(doc_id).
+    At 100 TB this is one shuffle on a 16-byte hash, never on the text."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5(F.col("text").cast("binary")).alias("text_hash"))
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+ORACLE_DEDUP_EXACT = """
+SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+FROM documents GROUP BY md5(text)
+"""
+
+
+# ------------------------------------------------------------ token count --
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token count + distinct-token count, all JVM-side."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+    )
+
+
+ORACLE_TOKEN_COUNT = """
+SELECT doc_id,
+       CAST(len(string_split_regex(trim(text), '\\s+')) AS INT) AS n_tokens,
+       CAST(len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS INT)
+           AS n_distinct_tokens
+FROM documents
+"""
+
+
+# ---------------------------------------------------------- quality score --
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality features: length, word count, mean word length,
+    non-alnum ratio — the standard webtext quality gates, as expressions."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n_words = F.size(toks)
+    n_chars = F.length("text")
+    squashed = F.regexp_replace(F.col("text"), r"[A-Za-z0-9\s]", "")
+    return d.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_words.alias("n_words"),
+        F.round(n_chars.cast("double") / n_words, 4).alias("chars_per_word"),
+        F.round(F.length(squashed).cast("double") / n_chars, 6).alias("punct_ratio"),
+    )
+
+
+ORACLE_QUALITY_SCORE = """
+SELECT doc_id,
+       CAST(LENGTH(text) AS INT) AS n_chars,
+       CAST(len(string_split_regex(trim(text), '\\s+')) AS INT) AS n_words,
+       ROUND(CAST(LENGTH(text) AS DOUBLE)
+             / len(string_split_regex(trim(text), '\\s+')), 4) AS chars_per_word,
+       ROUND(CAST(LENGTH(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+             / LENGTH(text), 6) AS punct_ratio
+FROM documents
+"""
+
+
+# ----------------------------------------------------------- fingerprint --
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: md5 of whitespace-normalized lowercase text."""
+    d = load(spark, sf_dir, "documents")
+    norm = F.lower(F.regexp_replace(F.col("text"), r"\s+", " "))
+    return d.select("doc_id", F.md5(norm.cast("binary")).alias("fp"))
+
+
+ORACLE_FINGERPRINT = """
+SELECT doc_id, md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp
+FROM documents
+"""
+
+
+# ------------------------------------------------------- MinHash + LSH -----
+N_PERM = 32           # minhash permutations
+LSH_BANDS = 8         # bands of N_PERM/LSH_BANDS rows each
+SHINGLE_K = 3         # word n-gram width
+
+
+def _shingles(col: str = "text"):
+    """Word 3-gram shingles as an array column (JVM expression)."""
+    return F.expr(
+        f"transform(sequence(0, greatest(size(split(trim({col}), '\\\\s+')) - {SHINGLE_K}, 0)),"
+        f" i -> concat_ws(' ', slice(split(trim({col}), '\\\\s+'), i + 1, {SHINGLE_K})))"
+    )
+
+
+def minhash_signatures(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """doc → 32-permutation MinHash signature, entirely in codegen:
+    sig[p] = min over shingles of xxhash64(shingle, p)."""
+    with_sh = docs.select(id_col, _shingles().alias("sh"))
+    sig_cols = [
+        F.array_min(F.expr(f"transform(sh, s -> xxhash64(s, {p}))")).alias(f"h{p}")
+        for p in range(N_PERM)
+    ]
+    return with_sh.select(id_col, F.array(*sig_cols).alias("sig"), "sh")
+
+
+def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-duplicate candidate pairs with exact-Jaccard
+    verification (shingle arrays, array_intersect/union) — no Python UDFs.
+
+    Scale path: the only shuffles are (band_id, band_hash) groupBy and the
+    pair self-join on banded buckets; signatures are 32×8 bytes per doc.
+    rows-only probe (LSH is not SQL-expressible in the oracle engine);
+    recall on planted near-dups asserted in pytest.
+    """
+    d = load(spark, sf_dir, "documents")
+    sigs = minhash_signatures(d)
+    rows_per_band = N_PERM // LSH_BANDS
+    bands = sigs.select(
+        "doc_id", "sh",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band_id"),
+                    F.xxhash64(F.concat_ws(",", *[
+                        F.col("sig")[b * rows_per_band + r].cast("string")
+                        for r in range(rows_per_band)
+                    ])).alias("band_hash"),
+                )
+                for b in range(LSH_BANDS)
+            ])
+        ).alias("band"),
+    ).select("doc_id", "sh", "band.band_id", "band.band_hash")
+
+    left = bands.alias("a")
+    right = bands.select("doc_id", "band_id", "band_hash").alias("b")
+    pairs = (
+        left.join(right, (F.col("a.band_id") == F.col("b.band_id"))
+                  & (F.col("a.band_hash") == F.col("b.band_hash"))
+                  & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"),
+                F.col("a.sh").alias("sh_a"))
+        .distinct()
+    )
+    sh_b = minhash_signatures(d).select(
+        F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    verified = (
+        pairs.join(sh_b, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+                / F.size(F.array_union("sh_a", "sh_b")), 4),
+        )
+        .filter(F.col("jaccard") >= 0.8)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return verified
+
+
+# ------------------------------------------------------------- SimHash -----
+def _simhash_kernel(texts: pd.Series) -> pd.Series:
+    """64-bit SimHash over whitespace tokens (Arrow-batched, numpy)."""
+    import hashlib
+
+    import numpy as np
+
+    out = np.zeros(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        if not t:
+            continue
+        toks = t.lower().split()
+        if not toks:
+            continue
+        hs = np.array(
+            [int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "big")
+             for w in toks], dtype=np.uint64)
+        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int32)
+        votes = bits.sum(axis=0) * 2 - len(toks)
+        sim = np.uint64(0)
+        for b in range(64):
+            if votes[b] > 0:
+                sim |= np.uint64(1) << np.uint64(b)
+        out[i] = np.int64(sim)
+    return pd.Series(out)
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints (rows-only probe; hamming-dedup tested in pytest).
+    UDF constructed lazily — pandas_udf return-type parsing needs a live
+    session."""
+    simhash64 = pandas_udf(_simhash_kernel, "long")
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", simhash64("text").alias("simhash"))
+
+
+# ------------------------------------------------------------- lang-id -----
+def _lang_id_kernel(texts: pd.Series) -> pd.Series:
+    """Stopword-density language ID using the gooselite tables (loaded once
+    per worker at module import)."""
+    from gooselite.stopwords_data import STOPWORDS
+    from gooselite.text import remove_punctuation
+
+    def guess(t: str) -> str:
+        if not t:
+            return "unknown"
+        words = [w.lower() for w in remove_punctuation(t).split()][:500]
+        if not words:
+            return "unknown"
+        best_lang, best = "unknown", 0.0
+        for lang, table in STOPWORDS.items():
+            score = sum(1 for w in words if w in table) / len(words)
+            if score > best:
+                best_lang, best = lang, score
+        return best_lang if best >= 0.05 else "unknown"
+
+    return texts.map(guess)
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID probe (rows-only; accuracy asserted in pytest on texts
+    with known stopword profiles)."""
+    lang_id = pandas_udf(_lang_id_kernel, "string")
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", lang_id("text").alias("guessed_lang"))
+
+
+# -------------------------------------------------------- multimodal stub --
+def q_multimodal_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing probe: opaque binary payload column → typed
+    metadata via mapInPandas. The decode step is a clearly-marked
+    deterministic FAKE (no image/audio libs in this container); the
+    Spark-side contract — binary column, Arrow batching, schema — is real.
+    """
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("payload"))
+
+    def decode_batches(it):
+        for pdf in it:
+            n = pdf["payload"].map(lambda b: len(b) if b is not None else 0)
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "n_bytes": n.astype("int64"),
+                # deterministic fake "decoded" dimensions; a real deployment
+                # swaps this for PIL/ffmpeg decode (NotImplemented here)
+                "fake_width": (n % 640).astype("int32"),
+                "fake_height": (n % 480).astype("int32"),
+            })
+
+    return d.mapInPandas(
+        decode_batches,
+        schema="doc_id long, n_bytes long, fake_width int, fake_height int")

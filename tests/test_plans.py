@@ -1,0 +1,73 @@
+"""Physical-plan shape tests (SURVEY.md §4.2): pushdown, pruning, and join
+strategy must actually reach the scan — not just produce correct rows."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from goose_spark import job as J
+from goose_spark import queries as Q
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # same as explain("formatted")
+        df._jdf.queryExecution(), "formatted")
+
+
+def test_filter_pushdown_and_column_pruning(spark):
+    df = Q.q_scan_filter_project(spark, SF)
+    plan = _plan(df)
+    assert "PushedFilters" in plan
+    assert "l_shipdate" in plan.split("PushedFilters")[1][:200]
+    # ReadSchema must NOT include unprojected fat columns
+    read_schema = plan.split("ReadSchema")[1][:400]
+    assert "l_extendedprice" not in read_schema
+    assert "l_comment" not in read_schema
+
+
+def test_broadcast_join_strategy(spark):
+    plan = _plan(Q.q_broadcast_join(spark, SF))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_anti_join_is_broadcast_when_small(spark):
+    plan = _plan(Q.q_anti_join(spark, SF))
+    assert "LeftAnti" in plan
+
+
+def test_extraction_scan_prunes_text_column(spark, sf0001_fixtures):
+    """The fat CC-provided `text` column must never be read by the
+    extraction plan (html is needed; text is not)."""
+    pages_path, _ = sf0001_fixtures
+    pages = J.read_pages(spark, pages_path)
+    df = J.extract(J.prepare(pages), partitions=4)
+    plan = _plan(df)
+    scan = plan.split("ReadSchema")[1][:500]
+    assert "html" in scan
+    assert "text" not in scan.replace("cleaned_text", "")
+
+
+def test_extraction_plan_has_single_python_stage(spark, sf0001_fixtures):
+    """One mapInPandas evaluation — no accidental extra Python round-trips."""
+    pages_path, _ = sf0001_fixtures
+    pages = J.read_pages(spark, pages_path)
+    df = J.extract(J.prepare(pages), partitions=4)
+    plan = _plan(df)
+    tree = plan.split("\n\n")[0]  # the tree section (details repeat names)
+    assert tree.count("MapInPandas") == 1
+    assert "BatchEvalPython" not in plan  # no row-at-a-time Python UDF
+
+
+def test_hash_agg_partial_final(spark):
+    """Aggregation must be partial+final (map-side combine before shuffle)."""
+    plan = _plan(Q.q_hash_agg(spark, SF))
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_whole_stage_codegen_in_scan_filter(spark):
+    # formatted explain marks codegen'd nodes with '*'; Filter+Project must
+    # both be inside a codegen stage
+    plan = _plan(Q.q_scan_filter_project(spark, SF))
+    tree = plan.split("\n\n")[0]
+    assert "* Filter" in tree and "* Project" in tree

@@ -1,0 +1,99 @@
+"""Semantics tests for the training-data operators (dedup, similarity,
+text analysis) — the rows-only probes get their correctness asserted here
+(SURVEY.md L3 note; driver only checks rows for these)."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from goose_spark import textops as T
+from goose_spark.ann import q_ann_cosine_topk, q_ann_lsh_buckets
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def planted(spark, tmp_path_factory):
+    """documents-shaped corpus with planted exact + near duplicates."""
+    base = "the quick brown fox jumps over the lazy dog again and again " * 8
+    near = base.replace("lazy dog", "sleepy dog", 1)  # one shingle changed
+    other = "completely different content about spark shuffles and parquet files " * 8
+    pdf = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5],
+        "text": [base, base, near, other, "tiny"],
+        "lang": ["en"] * 5,
+        "source": ["t"] * 5,
+        "n_chars": [len(base), len(base), len(near), len(other), 4],
+    })
+    out = str(tmp_path_factory.mktemp("planted"))
+    spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(
+        out + "/documents.parquet")
+    return out
+
+
+def test_minhash_finds_planted_dups(spark, planted):
+    pairs = T.q_minhash_pairs(spark, planted).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    assert (1, 2) in found          # exact dup → jaccard 1.0
+    assert (1, 3) in found or (2, 3) in found  # near dup survives 0.8 gate
+    assert all({a, b} != {4, 5} for a, b in found)
+    j12 = [r.jaccard for r in pairs if (r.id_a, r.id_b) == (1, 2)][0]
+    assert j12 == 1.0
+
+
+def test_simhash_near_dups_close(spark, planted):
+    rows = {r.doc_id: r.simhash for r in T.q_simhash(spark, planted).collect()}
+    def hamming(a, b):
+        return bin((a & 0xFFFFFFFFFFFFFFFF) ^ (b & 0xFFFFFFFFFFFFFFFF)).count("1")
+    assert rows[1] == rows[2]                      # identical text
+    assert hamming(rows[1], rows[3]) <= 6          # near dup: few bits differ
+    assert hamming(rows[1], rows[4]) > 10          # unrelated: far apart
+
+
+def test_lang_id_on_stopword_rich_text(spark, tmp_path_factory):
+    pdf = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [
+            "the cat is on the mat and it is happy with the food it has",
+            "der hund ist nicht auf dem tisch und er hat auch keine zeit",
+            "xyzzy qwerty plugh foobar",
+        ],
+        "lang": ["en", "de", "xx"], "source": ["t"] * 3, "n_chars": [1, 1, 1],
+    })
+    out = str(tmp_path_factory.mktemp("langid"))
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(out + "/documents.parquet")
+    got = {r.doc_id: r.guessed_lang for r in T.q_lang_id(spark, out).collect()}
+    assert got[1] == "en"
+    assert got[2] == "de"
+    assert got[3] == "unknown"
+
+
+def test_dedup_exact_counts(spark, planted):
+    res = T.q_dedup_exact(spark, planted).collect()
+    by_keep = {r.keep_id: r.n_copies for r in res}
+    assert by_keep[1] == 2  # docs 1 and 2 identical
+    assert by_keep[3] == 1
+
+
+def test_ann_cosine_topk_shape_and_selfsim(spark):
+    df = q_ann_cosine_topk(spark, SF)
+    rows = df.collect()
+    assert len(rows) == 10
+    assert all(-1.0001 <= r.cosine <= 1.0001 for r in rows)
+    cos = [r.cosine for r in rows]
+    assert cos == sorted(cos, reverse=True)
+
+
+def test_ann_lsh_buckets_deterministic(spark):
+    a = {(r.vec_id, r.bucket) for r in q_ann_lsh_buckets(spark, SF).collect()}
+    b = {(r.vec_id, r.bucket) for r in q_ann_lsh_buckets(spark, SF).collect()}
+    assert a == b
+    buckets = {x[1] for x in a}
+    assert len(buckets) > 4  # vectors actually spread over buckets
+
+
+def test_multimodal_stub_schema(spark):
+    df = T.q_multimodal_stub(spark, SF)
+    rows = df.limit(5).collect()
+    assert df.columns == ["doc_id", "n_bytes", "fake_width", "fake_height"]
+    assert all(r.n_bytes > 0 for r in rows)
