@@ -46,6 +46,12 @@ def _q_udf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from goose_spark.streaming import stream_window_counts
+
+    return stream_window_counts(spark, sf_dir)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     from goose_spark import ann as A
@@ -84,9 +90,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_simhash": T.q_simhash,                          # rows-only
         "q_lang_id": T.q_lang_id,                          # rows-only
         "q_multimodal_stub": T.q_multimodal_stub,          # rows-only
-        # similarity search
+        "q_ngram_jaccard": T.q_ngram_jaccard,
+        # similarity search / embedding ops
         "q_ann_cosine_topk": A.q_ann_cosine_topk,
         "q_ann_lsh_buckets": A.q_ann_lsh_buckets,          # rows-only
+        "q_embed_neardup": A.q_embed_neardup,
+        "q_ann_ivf": A.q_ann_ivf,
+        # streaming (B19): watermark + tumbling window, availableNow drain
+        "q_stream_window": _q_stream_window,
     }
 
 
@@ -121,7 +132,14 @@ def oracle_sql() -> dict[str, str]:
         "q_token_count": T.ORACLE_TOKEN_COUNT,
         "q_quality_score": T.ORACLE_QUALITY_SCORE,
         "q_fingerprint": T.ORACLE_FINGERPRINT,
+        "q_ngram_jaccard": T.ORACLE_NGRAM_JACCARD,
     }
+    from goose_spark import ann as A
+    from goose_spark import streaming as S
+
+    oracles["q_embed_neardup"] = A.ORACLE_EMBED_NEARDUP
+    oracles["q_ann_ivf"] = A.ORACLE_ANN_IVF
+    oracles["q_stream_window"] = S.ORACLE_STREAM_WINDOW
     try:  # needs a live session to read the query vector parameter
         from goose_spark.ann import oracle_ann_cosine_topk
 

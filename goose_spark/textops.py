@@ -107,11 +107,18 @@ SHINGLE_K = 3         # word n-gram width
 
 
 def _shingles(col: str = "text"):
-    """Word 3-gram shingles as an array column (JVM expression)."""
+    """Word 3-gram shingles as an array column (JVM expression).
+
+    The token array is bound once via a lambda parameter (zip_with-style
+    let-binding) — naively inlining ``split`` inside the transform lambda
+    re-tokenizes the document per shingle (O(words²); higher-order
+    functions also disable common-subexpression elimination)."""
+    split = f"split(trim({col}), '\\\\s+')"
     return F.expr(
-        f"transform(sequence(0, greatest(size(split(trim({col}), '\\\\s+')) - {SHINGLE_K}, 0)),"
-        f" i -> concat_ws(' ', slice(split(trim({col}), '\\\\s+'), i + 1, {SHINGLE_K})))"
-    )
+        f"transform(array({split}), ws ->"
+        f" transform(sequence(0, greatest(size(ws) - {SHINGLE_K}, 0)),"
+        f" i -> concat_ws(' ', slice(ws, i + 1, {SHINGLE_K}))))"
+    )[0]
 
 
 def minhash_signatures(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -122,23 +129,30 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
         F.array_min(F.expr(f"transform(sh, s -> xxhash64(s, {p}))")).alias(f"h{p}")
         for p in range(N_PERM)
     ]
-    return with_sh.select(id_col, F.array(*sig_cols).alias("sig"), "sh")
+    return with_sh.select(id_col, F.array(*sig_cols).alias("sig"))
 
 
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-duplicate candidate pairs with exact-Jaccard
     verification (shingle arrays, array_intersect/union) — no Python UDFs.
 
-    Scale path: the only shuffles are (band_id, band_hash) groupBy and the
-    pair self-join on banded buckets; signatures are 32×8 bytes per doc.
+    Shuffle discipline (the 100 TB path): the band explode and pair
+    self-join carry only (doc_id, band_hash) — 16 bytes/row, never the
+    shingle arrays; shingles join back in ONLY for the (rare) candidate
+    pairs that survive banding, so the wide data rides one narrow
+    broadcast-sized join instead of an 8×-exploded shuffle.
     rows-only probe (LSH is not SQL-expressible in the oracle engine);
     recall on planted near-dups asserted in pytest.
     """
-    d = load(spark, sf_dir, "documents")
+    # small local files scan as ONE task; spread the CPU-heavy shingle +
+    # 32-permutation hashing over all cores (at 100 TB the scan itself
+    # yields thousands of splits and this repartition is unnecessary)
+    d = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism)
     sigs = minhash_signatures(d)
     rows_per_band = N_PERM // LSH_BANDS
     bands = sigs.select(
-        "doc_id", "sh",
+        "doc_id",
         F.explode(
             F.array(*[
                 F.struct(
@@ -151,22 +165,21 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for b in range(LSH_BANDS)
             ])
         ).alias("band"),
-    ).select("doc_id", "sh", "band.band_id", "band.band_hash")
+    ).select("doc_id", "band.band_id", "band.band_hash")
 
     left = bands.alias("a")
-    right = bands.select("doc_id", "band_id", "band_hash").alias("b")
+    right = bands.select(F.col("doc_id").alias("doc_id_b"), "band_id", "band_hash")
     pairs = (
-        left.join(right, (F.col("a.band_id") == F.col("b.band_id"))
-                  & (F.col("a.band_hash") == F.col("b.band_hash"))
-                  & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"),
-                F.col("a.sh").alias("sh_a"))
+        left.join(right, ["band_id", "band_hash"])
+        .filter(F.col("doc_id") < F.col("doc_id_b"))
+        .select(F.col("doc_id").alias("id_a"), F.col("doc_id_b").alias("id_b"))
         .distinct()
     )
-    sh_b = minhash_signatures(d).select(
-        F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    sh = d.select("doc_id", _shingles().alias("sh"))
     verified = (
-        pairs.join(sh_b, "id_b")
+        pairs
+        .join(sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+        .join(sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
         .withColumn(
             "jaccard",
             F.round(
@@ -177,6 +190,50 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", "jaccard")
     )
     return verified
+
+
+# ------------------------------------------------------- n-gram Jaccard ----
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard over within-source pairs — the brute-force
+    ground truth that MinHash+LSH approximates. Pairs are bounded by the
+    `source` key (at 100 TB: a blocking key or an LSH bucket, never a full
+    cross join); the 20-source dim side broadcasts.
+    """
+    d = (
+        load(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", "source", F.array_distinct(_shingles()).alias("sh"))
+    )
+    a = d.alias("a")
+    b = d.select(F.col("doc_id").alias("doc_id_b"), F.col("source").alias("source_b"),
+                 F.col("sh").alias("sh_b")).alias("b")
+    return (
+        a.join(b, (F.col("a.source") == F.col("source_b"))
+               & (F.col("a.doc_id") < F.col("doc_id_b")))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("doc_id_b").alias("id_b"),
+            F.round(
+                F.size(F.array_intersect("sh", "sh_b")).cast("double")
+                / F.size(F.array_union("sh", "sh_b")), 4).alias("jaccard"),
+        )
+    )
+
+
+ORACLE_NGRAM_JACCARD = """
+WITH t AS (
+  SELECT doc_id, source,
+    list_distinct(list_transform(
+      range(1, greatest(len(string_split_regex(trim(text), '\\s+')) - 3, 0) + 2),
+      i -> array_to_string(
+             list_slice(string_split_regex(trim(text), '\\s+'), i, i + 2), ' ')
+    )) AS sh
+  FROM documents)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE
+             / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+"""
 
 
 # ------------------------------------------------------------- SimHash -----
