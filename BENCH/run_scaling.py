@@ -45,7 +45,7 @@ pages_path = {pages_path!r}
 J.extract(J.prepare(J.read_pages(spark, pages_path).limit(64)), partitions=cpus).count()
 
 t0 = time.perf_counter()
-out = J.extract(J.prepare(J.read_pages(spark, pages_path)), partitions=cpus * 2)
+out = J.extract(J.prepare(J.read_pages(spark, pages_path)), partitions=cpus * 4)
 row = out.agg(F.count(F.lit(1)).alias("docs"), F.sum("bytes_in").alias("b")).collect()[0]
 dt = time.perf_counter() - t0
 print("RESULT " + json.dumps({{"cpus": cpus, "sec": dt, "docs": int(row["docs"]),

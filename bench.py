@@ -49,7 +49,7 @@ def main() -> None:
 
     # --- flagship: the extraction pipeline (dedupe → salt → mapInPandas) ---
     t0 = time.perf_counter()
-    out = J.extract(J.prepare(J.read_pages(spark, pages_path)), partitions=cpus * 2)
+    out = J.extract(J.prepare(J.read_pages(spark, pages_path)), partitions=cpus * 4)
     row = out.agg(
         F.count(F.lit(1)).alias("docs"),
         F.sum(F.length("cleaned_text")).alias("chars_out"),

@@ -93,12 +93,16 @@ def with_bucket(pages: DataFrame) -> DataFrame:
 
 
 def salted_repartition(df: DataFrame, partitions: int) -> DataFrame:
-    """B15: uniform spread of documents over `partitions` via
-    pmod(xxhash64(url), P) — giant-HTML skew cannot be rebalanced by AQE
-    inside the UDF stage, so do it explicitly."""
-    return df.repartition(
-        partitions, F.pmod(F.xxhash64(F.col("url")), F.lit(partitions))
-    )
+    """B15: uniform spread of documents over `partitions` by hashing the
+    full-width xxhash64(url) — giant-HTML skew cannot be rebalanced by AQE
+    inside the UDF stage, so it is spread explicitly.
+
+    Deliberately NOT ``pmod(xxhash64(url), P)``: repartition() re-hashes
+    its expression, so feeding it only P distinct pmod values is a
+    balls-into-bins collision (measured: 41/64 partitions non-empty, some
+    carrying 3 buckets). Hashing the full 64-bit value spreads uniformly
+    over all P partitions."""
+    return df.repartition(partitions, F.xxhash64(F.col("url")))
 
 
 def extract(pages: DataFrame, partitions: int | None = None) -> DataFrame:
@@ -107,11 +111,21 @@ def extract(pages: DataFrame, partitions: int | None = None) -> DataFrame:
     spark = pages.sparkSession
     configure_session(spark)
     if partitions is None:
-        partitions = spark.sparkContext.defaultParallelism * 2
+        # fine-grained tasks (4× cores): the skew tail is single giant
+        # documents that pin a task; small partitions let the scheduler
+        # pack around them and cap stragglers at ~one giant doc each
+        # (measured on the sf0.1 corpus: 4× beats 2× and 8×)
+        partitions = spark.sparkContext.defaultParallelism * 4
     cols = pages.select("url", "warc_ts", "html", "lang")
     bucketed = with_bucket(cols)
     salted = salted_repartition(bucketed, partitions)
-    return salted.mapInPandas(extract_batches, schema=EXTRACTED)
+    # Decorrelate arrival order from any upstream ordering: after the
+    # dedupe window the rows arrive url-sorted, and url order correlates
+    # with document size in CC-style crawls, so giant docs cluster into
+    # the same Arrow batches (measured: ~2× worker-side slowdown from
+    # allocator churn). A cheap in-partition hash sort interleaves sizes.
+    shuffled = salted.sortWithinPartitions(F.xxhash64(F.col("url"), F.lit(1)))
+    return shuffled.mapInPandas(extract_batches, schema=EXTRACTED)
 
 
 def prepare(pages: DataFrame, checkpoint: DataFrame | None = None,

@@ -20,13 +20,39 @@ def clean_document(root: Node) -> Node:
     _clean_em_tags(root)
     _remove_drop_caps(root)
     _remove_scripts_styles_comments(root)
-    _clean_bad_tags(root)
-    for rx in (C.CAPTION_RE, C.GOOGLE_RE, C.ENTRIES_RE,
-               C.FACEBOOK_RE, C.FACEBOOK_BROADCASTING_RE, C.TWITTER_RE):
-        _remove_nodes_matching(root, rx, attrs=("id", "class"))
+    _remove_bad_and_targeted(root)
     _clean_para_spans(root)
     _div_to_para(root)
     return root
+
+
+# Canonical pass order is blacklist (id/class/name) then six targeted
+# regexes (id/class). Sequential removal passes and one fused pass doom
+# the same node set (removal of an already-detached descendant is a
+# no-op in remove_all), so the seven full-tree walks are fused into one.
+_TARGETED_RES = (C.CAPTION_RE, C.GOOGLE_RE, C.ENTRIES_RE,
+                 C.FACEBOOK_RE, C.FACEBOOK_BROADCASTING_RE, C.TWITTER_RE)
+
+
+def _remove_bad_and_targeted(root: Node) -> None:
+    doomed: list[Node] = []
+    bad = C.REMOVE_NODES_RE
+    for e in root.iter_elements():
+        attrib = e.attrib
+        if not attrib:
+            continue
+        eid = attrib.get("id")
+        ecls = attrib.get("class")
+        name = attrib.get("name")
+        if (
+            (eid and bad.search(eid))
+            or (ecls and bad.search(ecls))
+            or (name and bad.search(name))
+            or any((eid and rx.search(eid)) or (ecls and rx.search(ecls))
+                   for rx in _TARGETED_RES)
+        ):
+            doomed.append(e)
+    remove_all(doomed)
 
 
 def _clean_em_tags(root: Node) -> None:
@@ -49,25 +75,6 @@ def _remove_scripts_styles_comments(root: Node) -> None:
     doomed = root.get_elements_by_tag("script") + root.get_elements_by_tag("style")
     doomed += [n for n in root.iter_nodes() if n.tag == COMMENT]
     remove_all(doomed)
-
-
-def _matches(node: Node, rx: re.Pattern[str], attrs: tuple[str, ...]) -> bool:
-    for attr in attrs:
-        value = node.attrib.get(attr)
-        if value and rx.search(value):
-            return True
-    return False
-
-
-def _remove_nodes_matching(root: Node, rx: re.Pattern[str],
-                           attrs: tuple[str, ...] = ("id", "class", "name")) -> None:
-    # materialize first (we mutate while walking), then batch-remove
-    remove_all([e for e in root.iter_elements() if _matches(e, rx, attrs)])
-
-
-def _clean_bad_tags(root: Node) -> None:
-    """Remove nodes whose id/class/name matches REMOVE_NODES_RE."""
-    _remove_nodes_matching(root, C.REMOVE_NODES_RE, attrs=("id", "class", "name"))
 
 
 def _clean_para_spans(root: Node) -> None:

@@ -36,7 +36,8 @@ class Node:
     """One DOM node. Element nodes carry tag/attrib/children; text and
     comment nodes carry ``text`` and have tag ``#text`` / ``#comment``."""
 
-    __slots__ = ("tag", "attrib", "children", "parent", "text", "score", "gravity_nodes")
+    __slots__ = ("tag", "attrib", "children", "parent", "text", "score",
+                 "gravity_nodes", "is_element")
 
     def __init__(self, tag: str, attrib: dict[str, str] | None = None, text: str | None = None):
         self.tag = tag
@@ -46,11 +47,10 @@ class Node:
         self.text = text
         self.score: float | None = None   # gravityScore annotation (A11)
         self.gravity_nodes: int = 0
-
-    # -- structure ----------------------------------------------------------
-    @property
-    def is_element(self) -> bool:
-        return not self.tag.startswith("#")
+        # precomputed: the profiler showed a property here costs ~13% of
+        # total extraction time (6M+ calls/150 docs). Node kind never
+        # changes (div→p stays an element), so a plain slot is safe.
+        self.is_element: bool = not tag.startswith("#")
 
     def append(self, child: "Node") -> None:
         child.parent = self
@@ -85,40 +85,87 @@ class Node:
         self.parent = None
 
     # -- traversal (document order, iterative) ------------------------------
-    def iter_nodes(self):
+    # These return LISTS, not generators: traversal is the single hottest
+    # code path (millions of visits per batch) and chained generator
+    # dispatch roughly doubled its cost; lists are also mutation-safe for
+    # the destructive cleaner passes.
+    def iter_nodes(self) -> list["Node"]:
         """All descendant nodes (not self), document order."""
+        out: list[Node] = []
         stack = list(reversed(self.children))
+        pop, push, append = stack.pop, stack.extend, out.append
         while stack:
-            node = stack.pop()
-            yield node
+            node = pop()
+            append(node)
             if node.children:
-                stack.extend(reversed(node.children))
+                push(reversed(node.children))
+        return out
 
-    def iter_elements(self):
-        for node in self.iter_nodes():
+    def iter_elements(self) -> list["Node"]:
+        out: list[Node] = []
+        stack = list(reversed(self.children))
+        pop, push, append = stack.pop, stack.extend, out.append
+        while stack:
+            node = pop()
             if node.is_element:
-                yield node
+                append(node)
+            if node.children:
+                push(reversed(node.children))
+        return out
 
-    def itertext(self):
+    def itertext(self) -> list[str]:
         """Descendant text-node strings, document order.
 
         [canon: lxml .itertext(); getText joins these with ' ']."""
-        for node in self.iter_nodes():
-            if node.tag == TEXT and node.text:
-                yield node.text
+        out: list[str] = []
+        stack = list(reversed(self.children))
+        pop, push, append = stack.pop, stack.extend, out.append
+        while stack:
+            node = pop()
+            if node.text and node.tag == TEXT:
+                append(node.text)
+            if node.children:
+                push(reversed(node.children))
+        return out
 
     def get_elements_by_tag(self, *tags: str) -> list["Node"]:
         """Descendants matching any tag, in document order. With multiple
         tags, results are concatenated PER TAG GROUP — the canonical Goose
         candidate order (all <p>, then all <pre>, then all <td>;
-        SURVEY.md A7 ordering matters for the boost index)."""
+        SURVEY.md A7 ordering matters for the boost index) — collected in
+        ONE walk."""
+        if not self.children:
+            return []
         if len(tags) == 1:
-            tag = tags[0]
-            return [e for e in self.iter_elements() if e.tag == tag]
-        out: list[Node] = []
-        for tag in tags:
-            out.extend(e for e in self.iter_elements() if e.tag == tag)
-        return out
+            want = tags[0]
+            out: list[Node] = []
+            kids = self.children
+            # leaf-ish fast path: typical <p> holds only text nodes
+            if len(kids) == 1 and not kids[0].children:
+                return [kids[0]] if kids[0].tag == want else []
+            stack = list(reversed(kids))
+            pop, push, append = stack.pop, stack.extend, out.append
+            while stack:
+                node = pop()
+                if node.tag == want:
+                    append(node)
+                if node.children:
+                    push(reversed(node.children))
+            return out
+        buckets: dict[str, list[Node]] = {t: [] for t in tags}
+        stack = list(reversed(self.children))
+        pop, push = stack.pop, stack.extend
+        while stack:
+            node = pop()
+            b = buckets.get(node.tag)
+            if b is not None:
+                b.append(node)
+            if node.children:
+                push(reversed(node.children))
+        merged: list[Node] = []
+        for t in tags:
+            merged.extend(buckets[t])
+        return merged
 
     def previous_siblings(self) -> list["Node"]:
         """Element siblings before self, nearest first (reverse document
@@ -137,8 +184,16 @@ class Node:
 
     # -- text ----------------------------------------------------------------
     def get_text(self) -> str:
-        """[canon: goose/parsers.py getText]: ' '.join(itertext) → innerTrim."""
-        return inner_trim(" ".join(self.itertext()))
+        """[canon: goose/parsers.py getText]: ' '.join(itertext) → innerTrim.
+        (str.split() splits on the same Unicode whitespace class as \\s+,
+        so join-split-join ≡ join → innerTrim.)"""
+        kids = self.children
+        if not kids:
+            return ""
+        if len(kids) == 1 and not kids[0].children:  # single text child
+            k = kids[0]
+            return " ".join(k.text.split()) if (k.tag == TEXT and k.text) else ""
+        return " ".join(" ".join(self.itertext()).split())
 
     def __repr__(self) -> str:  # debug aid only
         if self.tag == TEXT:
