@@ -30,6 +30,12 @@ sys.path.insert(0, {repo!r})
 from pyspark.sql import SparkSession, functions as F
 from goose_spark import job as J
 
+# single-core calibration burn: detects noisy-neighbor interference on
+# this shared box so a polluted run can be discounted (see BASELINE.md)
+_t0 = time.perf_counter(); _x = 0
+while _x < 30_000_000: _x += 1
+CALIB = time.perf_counter() - _t0
+
 cpus = {cpus}
 spark = (SparkSession.builder.master(f"local[{{cpus}}]")
          .appName(f"goose-scaling-{{cpus}}")
@@ -50,7 +56,8 @@ row = out.agg(F.count(F.lit(1)).alias("docs"), F.sum("bytes_in").alias("b")).col
 dt = time.perf_counter() - t0
 print("RESULT " + json.dumps({{"cpus": cpus, "sec": dt, "docs": int(row["docs"]),
                                "mb": round((row["b"] or 0) / 1e6, 1),
-                               "docs_per_sec": round(row["docs"] / dt, 2)}}))
+                               "docs_per_sec": round(row["docs"] / dt, 2),
+                               "calib_sec": round(CALIB, 3)}}))
 spark.stop()
 """
 
@@ -80,24 +87,32 @@ def main() -> None:
     pages_path, _ = ensure_pages(args.sf_dir, copies=args.copies)
     levels = [int(x) for x in args.levels.split(",")]
 
-    results: dict[int, list[dict]] = {}
-    for level in levels:
-        results[level] = []
-        for r in range(args.runs):
+    # Interleave levels (8,32,8,32,...) and score by MIN: this sandbox is a
+    # shared box with bursty noisy-neighbor interference (measured 2-3×
+    # wall-time swings with zero local processes); interleaving exposes
+    # both levels to the same noise windows and min-of-N approximates the
+    # unloaded machine. Each child reports a single-core calibration burn
+    # so polluted runs are visible in scaling_raw.json.
+    results: dict[int, list[dict]] = {level: [] for level in levels}
+    for r in range(args.runs):
+        for level in levels:
             res = run_level(level, pages_path)
             results[level].append(res)
             print(f"# local[{level}] run {r + 1}/{args.runs}: "
-                  f"{res['sec']:.1f}s, {res['docs_per_sec']} docs/s", file=sys.stderr)
+                  f"{res['sec']:.1f}s, {res['docs_per_sec']} docs/s, "
+                  f"calib {res['calib_sec']}s", file=sys.stderr)
 
     summary = {}
     for level, runs in results.items():
-        med = statistics.median(r["sec"] for r in runs)
-        summary[level] = {"median_sec": round(med, 2),
+        best = min(r["sec"] for r in runs)
+        summary[level] = {"best_sec": round(best, 2),
+                          "median_sec": round(statistics.median(r["sec"] for r in runs), 2),
                           "docs": runs[0]["docs"], "mb": runs[0]["mb"],
-                          "docs_per_sec": round(runs[0]["docs"] / med, 2),
-                          "all_sec": [round(r["sec"], 2) for r in runs]}
+                          "docs_per_sec": round(runs[0]["docs"] / best, 2),
+                          "all_sec": [round(r["sec"], 2) for r in runs],
+                          "calib_sec": [r["calib_sec"] for r in runs]}
     lo, hi = min(levels), max(levels)
-    speedup = summary[lo]["median_sec"] / summary[hi]["median_sec"]
+    speedup = summary[lo]["best_sec"] / summary[hi]["best_sec"]
     ideal = hi / lo
     eff = speedup / ideal
     out = {"levels": summary, "speedup": round(speedup, 3),

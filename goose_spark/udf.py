@@ -33,10 +33,18 @@ def extract_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     allocation. partition_id comes from TaskContext for the per-partition
     lineage metrics (BASELINE.json:6).
     """
+    import gc
+
     from pyspark import TaskContext  # import inside worker
 
     ctx = TaskContext.get()
     pid = ctx.partitionId() if ctx is not None else -1
+    # Cyclic-GC policy: extract_one dispose()s each DOM so refcounting
+    # reclaims the bulk; threshold-triggered collections during the
+    # million-allocation parse phase would re-walk every live container
+    # (~30% slowdown, worse under 32 concurrent workers). Disable the
+    # collector and run one collect per batch for detached-subtree scraps.
+    gc.disable()
     for pdf in it:
         rows = []
         for url, warc_ts, html, lang, bucket in zip(
@@ -47,4 +55,6 @@ def extract_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             r["partition_id"] = pid
             r["bucket"] = int(bucket) if pd.notna(bucket) else 0
             rows.append(r)
-        yield pd.DataFrame(rows, columns=_OUT_COLS)
+        out = pd.DataFrame(rows, columns=_OUT_COLS)
+        gc.collect()
+        yield out

@@ -222,6 +222,22 @@ def remove_all(nodes: list["Node"]) -> None:
         n.parent = None
 
 
+def dispose(root: Node) -> None:
+    """Break parent↔child reference cycles so the tree is reclaimed by
+    refcounting alone. A 15 MB page builds a ~300k-node DOM whose cycles
+    otherwise sit on the cyclic GC: with per-allocation-threshold
+    collections repeatedly walking that many live containers, extraction
+    measures ~30% slower (worse under concurrent workers, where the GC
+    walks add memory-bandwidth contention). Call when done with the tree;
+    nodes detached from it earlier are not reached (the Spark UDF mops
+    those up with one gc.collect() per batch)."""
+    nodes = root.iter_nodes()
+    root.children = []
+    for n in nodes:
+        n.children = []
+        n.parent = None
+
+
 def new_text(value: str) -> Node:
     return Node(TEXT, text=value)
 

@@ -27,7 +27,7 @@ from gooselite.metadata import (
     get_meta_lang,
     get_title,
 )
-from gooselite.minidom import ParseError, parse_html
+from gooselite.minidom import ParseError, dispose, parse_html
 from gooselite.scoring import calculate_best_node, post_cleanup
 from gooselite.stopwords_data import STOPWORDS
 from gooselite.text import resolve_language
@@ -78,6 +78,14 @@ def extract_one(html: bytes | None, lang: str | None, url: str) -> dict[str, Any
                              resolve_language(lang),
                              (time.perf_counter() - t0) * 1000.0)
 
+    try:
+        return _extract_parsed(root, lang, url, bytes_in, t0)
+    finally:
+        dispose(root)
+
+
+def _extract_parsed(root, lang: str | None, url: str, bytes_in: int,
+                    t0: float) -> dict[str, Any]:
     # metadata BEFORE cleaning (cleaner strips <meta>-adjacent structure)
     title = get_title(root)
     meta_description = get_meta_description(root)
