@@ -159,6 +159,13 @@ def metrics_from_extracted(extracted: DataFrame, run_id: str) -> DataFrame:
 
 def run_job(spark: SparkSession, pages_path: str, out_dir: str, run_id: str,
             partitions: int | None = None) -> dict:
+    """Full batch job over a Parquet pages path (see run_job_df)."""
+    return run_job_df(spark, read_pages(spark, pages_path), out_dir, run_id,
+                      partitions)
+
+
+def run_job_df(spark: SparkSession, pages: DataFrame, out_dir: str,
+               run_id: str, partitions: int | None = None) -> dict:
     """Full batch job with durable writes + resumable checkpoint (B20/B21).
 
     Write order is the exactly-once-ish contract: EXTRACTED first, then
@@ -173,7 +180,6 @@ def run_job(spark: SparkSession, pages_path: str, out_dir: str, run_id: str,
     if os.path.exists(ckpt_path):
         checkpoint = spark.read.parquet(ckpt_path)
 
-    pages = read_pages(spark, pages_path)
     todo = prepare(pages, checkpoint, run_id)
     extracted = extract(todo, partitions)
 
