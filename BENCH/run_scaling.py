@@ -27,6 +27,8 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 CHILD = r"""
 import json, os, sys, time
 sys.path.insert(0, {repo!r})
+from goose_spark import job as _J0
+_J0.apply_malloc_env()  # before JVM start
 from pyspark.sql import SparkSession, functions as F
 from goose_spark import job as J
 

@@ -19,6 +19,9 @@ import time
 def build_session(cpus: int):
     from pyspark.sql import SparkSession
 
+    from goose_spark.job import apply_malloc_env
+
+    apply_malloc_env()  # must precede JVM start to reach python workers
     return (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("goose-bench")

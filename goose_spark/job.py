@@ -34,11 +34,29 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from goose_spark.schema import EXTRACTED
-from goose_spark.udf import extract_batches
+from goose_spark.udf import make_extract_batches
 
 # Arrow batch caps (B16): ≤64 MB or ≤256 rows per batch, whichever first.
 ARROW_MAX_BYTES = str(64 * 1024 * 1024)
 ARROW_MAX_RECORDS = "256"
+
+# glibc malloc knobs for the python workers: without these, every
+# multi-MB string copy during giant-doc extraction is served by
+# mmap/munmap, and 32 concurrent workers serialize on the kernel's mmap
+# lock (measured +21% throughput at 32 workers from this alone). Export
+# before the JVM starts (local mode: workers inherit the driver env); on
+# a cluster pass as spark.executorEnv.MALLOC_MMAP_THRESHOLD_ etc.
+MALLOC_ENV = {
+    "MALLOC_MMAP_THRESHOLD_": str(256 * 1024 * 1024),
+    "MALLOC_TRIM_THRESHOLD_": str(256 * 1024 * 1024),
+}
+
+
+def apply_malloc_env() -> None:
+    """Set the worker malloc knobs in this process's env (must run before
+    the SparkSession / JVM is created to reach the python workers)."""
+    for k, v in MALLOC_ENV.items():
+        os.environ.setdefault(k, v)
 
 
 def configure_session(spark: SparkSession) -> None:
@@ -105,9 +123,11 @@ def salted_repartition(df: DataFrame, partitions: int) -> DataFrame:
     return df.repartition(partitions, F.xxhash64(F.col("url")))
 
 
-def extract(pages: DataFrame, partitions: int | None = None) -> DataFrame:
+def extract(pages: DataFrame, partitions: int | None = None,
+            doc_timeout_s: float | None = None) -> DataFrame:
     """The extraction operator (B17): prune columns, bucket, salt, then one
-    mapInPandas pass with gooselite."""
+    mapInPandas pass with gooselite. doc_timeout_s: per-doc wall budget
+    (None → GOOSE_DOC_TIMEOUT_S env, default 300s; 0 disables)."""
     spark = pages.sparkSession
     configure_session(spark)
     if partitions is None:
@@ -125,7 +145,8 @@ def extract(pages: DataFrame, partitions: int | None = None) -> DataFrame:
     # the same Arrow batches (measured: ~2× worker-side slowdown from
     # allocator churn). A cheap in-partition hash sort interleaves sizes.
     shuffled = salted.sortWithinPartitions(F.xxhash64(F.col("url"), F.lit(1)))
-    return shuffled.mapInPandas(extract_batches, schema=EXTRACTED)
+    return shuffled.mapInPandas(make_extract_batches(doc_timeout_s),
+                                schema=EXTRACTED)
 
 
 def prepare(pages: DataFrame, checkpoint: DataFrame | None = None,
@@ -146,6 +167,7 @@ def metrics_from_extracted(extracted: DataFrame, run_id: str) -> DataFrame:
             F.sum((F.col("status") == "parse_error").cast("long")).alias("parse_failures"),
             F.sum((F.col("status") == "empty").cast("long")).alias("empty_extractions"),
             F.sum((F.col("status") == "decode_error").cast("long")).alias("decode_errors"),
+            F.sum((F.col("status") == "timeout").cast("long")).alias("timeouts"),
             F.sum("bytes_in").alias("bytes_processed"),
             F.sum("parse_ms").alias("wall_ms"),
         )
@@ -153,7 +175,7 @@ def metrics_from_extracted(extracted: DataFrame, run_id: str) -> DataFrame:
         .withColumn("started_ts", F.current_timestamp())
         .select("run_id", "partition_id", "bucket", "lang", "docs_in", "ok",
                 "parse_failures", "empty_extractions", "decode_errors",
-                "bytes_processed", "wall_ms", "started_ts")
+                "timeouts", "bytes_processed", "wall_ms", "started_ts")
     )
 
 

@@ -38,7 +38,21 @@ def _stream_dir(sf_dir: str) -> str:
 
 def stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream(events) → watermark → tumbling 1-day window × event_type
-    → count/sum, drained completely via availableNow into a memory sink."""
+    → count/sum, drained completely via availableNow into a memory sink.
+
+    The session timezone is pinned to UTC for the duration of the query
+    (and restored after): watermarks need TIMESTAMP (LTZ), the testdata
+    ships TIMESTAMP_NTZ, and only under UTC is the ntz→ltz cast + window
+    + date cast equal to the oracle's timezone-free date_trunc."""
+    tz_before = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        return _stream_window_counts_utc(spark, sf_dir)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz_before)
+
+
+def _stream_window_counts_utc(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     src = (
         spark.readStream.schema(batch_schema)

@@ -9,11 +9,48 @@ module import — once per executor Python worker, not per batch.
 
 from __future__ import annotations
 
+import os
 from typing import Iterator
 
 import pandas as pd
 
 from gooselite.pipeline import extract_one
+
+# Per-document wall-clock budget (SURVEY.md §4.2): an adversarial or
+# pathological page must produce a status='timeout' row, not a pinned
+# task. 0 disables. SIGALRM-based — works in the Spark python worker's
+# main thread; silently disabled where signals are unavailable.
+DOC_TIMEOUT_S = float(os.environ.get("GOOSE_DOC_TIMEOUT_S", "300"))
+
+
+def _extract_with_timeout(html, lang, url, budget_s: float):
+    if budget_s <= 0:
+        return extract_one(html, lang, url)
+    import signal
+
+    from gooselite.pipeline import ExtractionTimeout
+
+    def _on_alarm(signum, frame):
+        raise ExtractionTimeout()
+
+    try:
+        prev = signal.signal(signal.SIGALRM, _on_alarm)
+    except (ValueError, OSError, AttributeError):
+        return extract_one(html, lang, url)  # not main thread / platform
+    try:
+        signal.setitimer(signal.ITIMER_REAL, budget_s)
+        return extract_one(html, lang, url)
+    except ExtractionTimeout:
+        from gooselite.pipeline import STATUS_TIMEOUT, _empty_result
+        from gooselite.text import resolve_language
+
+        return _empty_result(url, STATUS_TIMEOUT,
+                             f"exceeded {budget_s:.0f}s budget",
+                             len(html) if html else 0,
+                             resolve_language(lang), budget_s * 1000.0)
+    finally:
+        signal.setitimer(signal.ITIMER_REAL, 0.0)
+        signal.signal(signal.SIGALRM, prev)
 
 # column order must match goose_spark.schema.EXTRACTED
 _OUT_COLS = [
@@ -23,7 +60,20 @@ _OUT_COLS = [
 ]
 
 
-def extract_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+def make_extract_batches(doc_timeout_s: float | None = None):
+    """Build the mapInPandas body with an explicit per-doc budget. The
+    budget is captured in the closure so it serializes to the workers
+    (a module global patched on the driver never reaches them)."""
+    budget = DOC_TIMEOUT_S if doc_timeout_s is None else doc_timeout_s
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        return extract_batches(it, budget)
+
+    return _batches
+
+
+def extract_batches(it: Iterator[pd.DataFrame],
+                    doc_timeout_s: float | None = None) -> Iterator[pd.DataFrame]:
     """mapInPandas body: (url, warc_ts, html, lang, bucket) → EXTRACTED.
 
     Input batches are Arrow record batches sized by
@@ -39,6 +89,7 @@ def extract_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
     ctx = TaskContext.get()
     pid = ctx.partitionId() if ctx is not None else -1
+    budget = DOC_TIMEOUT_S if doc_timeout_s is None else doc_timeout_s
     # Cyclic-GC policy: extract_one dispose()s each DOM so refcounting
     # reclaims the bulk; threshold-triggered collections during the
     # million-allocation parse phase would re-walk every live container
@@ -50,7 +101,7 @@ def extract_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for url, warc_ts, html, lang, bucket in zip(
             pdf["url"], pdf["warc_ts"], pdf["html"], pdf["lang"], pdf["bucket"]
         ):
-            r = extract_one(html, lang, url)
+            r = _extract_with_timeout(html, lang, url, budget)
             r["warc_ts"] = warc_ts
             r["partition_id"] = pid
             r["bucket"] = int(bucket) if pd.notna(bucket) else 0

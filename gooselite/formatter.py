@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from gooselite import constants as C
 from gooselite.minidom import Node, remove_all
-from gooselite.text import get_stopword_count, inner_trim
+from gooselite.text import inner_trim, stopword_count_fast
 
 
 def _remove_negativescore_nodes(top_node: Node) -> None:
@@ -63,11 +63,14 @@ def _remove_fewwords_paragraphs(top_node: Node, lang: str | None) -> None:
                 desc_media += live_media.get(id(child), 0)
             elif child.tag == "#text" and child.text:
                 parts.append(child.text)
-        text = inner_trim(" ".join(parts))
-        stats = get_stopword_count(text, lang)
+        # raw (untrimmed) concatenation: live_text only feeds stopword
+        # counting, which is whitespace-insensitive; the displayed text is
+        # recomputed from the pruned tree in _convert_to_text
+        text = " ".join(parts)
+        cnt = stopword_count_fast(text, lang)
         # exemption counts object/embed DESCENDANTS only (canonical
         # getElementsByTag semantics — an element never matches itself)
-        if stats.stop_word_count < C.FORMATTER_MIN_PARA_STOPWORDS and desc_media == 0:
+        if cnt < C.FORMATTER_MIN_PARA_STOPWORDS and desc_media == 0:
             doomed.append(e)
         else:
             live_text[id(e)] = text

@@ -195,6 +195,18 @@ class Node:
             return " ".join(k.text.split()) if (k.tag == TEXT and k.text) else ""
         return " ".join(" ".join(self.itertext()).split())
 
+    def raw_text(self) -> str:
+        """Descendant text WITHOUT innerTrim — zero-copy for the common
+        single-text-child case. For whitespace-insensitive consumers only
+        (token counting / stopword density); display paths use get_text."""
+        kids = self.children
+        if not kids:
+            return ""
+        if len(kids) == 1 and not kids[0].children:
+            k = kids[0]
+            return k.text if (k.tag == TEXT and k.text) else ""
+        return " ".join(self.itertext())
+
     def __repr__(self) -> str:  # debug aid only
         if self.tag == TEXT:
             return f"#text({self.text!r})"

@@ -32,10 +32,18 @@ from gooselite.scoring import calculate_best_node, post_cleanup
 from gooselite.stopwords_data import STOPWORDS
 from gooselite.text import resolve_language
 
+class ExtractionTimeout(BaseException):
+    """Raised by a per-doc watchdog (the Spark UDF's SIGALRM handler).
+    Derives from BaseException so broad `except Exception` recovery
+    paths (e.g. parse_html's) cannot convert a timeout into a
+    parse_error."""
+
+
 STATUS_OK = "ok"
 STATUS_EMPTY = "empty"
 STATUS_PARSE_ERROR = "parse_error"
 STATUS_DECODE_ERROR = "decode_error"
+STATUS_TIMEOUT = "timeout"  # emitted by the Spark UDF's per-doc budget
 
 
 def _empty_result(url: str, status: str, err: str | None, bytes_in: int,

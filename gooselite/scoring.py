@@ -13,20 +13,20 @@ from __future__ import annotations
 
 from gooselite import constants as C
 from gooselite.minidom import Node, new_element
-from gooselite.text import WordStats, get_stopword_count
+from gooselite.text import get_stopword_count, stopword_count_fast
 
 
 def is_highlink_density(node: Node, lang: str | None = None) -> bool:
-    """A9: (len(words(link text)) / len(words(node text))) * n_links >= 1.0."""
+    """A9: (len(words(link text)) / len(words(node text))) * n_links >= 1.0.
+    raw_text is used because only whitespace-split token COUNTS matter."""
     links = node.get_elements_by_tag("a")
     if not links:
         return False
-    words = node.get_text().split()
+    words = node.raw_text().split()
     if not words:
         return True  # all-link node: nothing but anchors
-    link_text = " ".join(a.get_text() for a in links)
-    link_words = link_text.split()
-    score = (len(link_words) / len(words)) * len(links)
+    n_link_words = sum(len(a.raw_text().split()) for a in links)
+    score = (n_link_words / len(words)) * len(links)
     return score >= C.LINK_DENSITY_THRESHOLD
 
 
@@ -64,7 +64,7 @@ def is_boostable(node: Node, lang: str | None) -> bool:
 
 
 def _precompute_boostable(candidates: list[Node], lang: str | None,
-                          stats_cache: dict[int, WordStats]) -> dict[int, bool]:
+                          stats_cache: dict[int, int]) -> dict[int, bool]:
     """One pass per parent: for each candidate, whether any of its nearest
     BOOST_SIBLING_REACH previous <p> siblings has stopword_count >
     BOOST_MIN_STOPWORDS (same decision as :func:`is_boostable`)."""
@@ -84,11 +84,11 @@ def _precompute_boostable(candidates: list[Node], lang: str | None,
             if id(child) in wanted:
                 out[id(child)] = any(recent_p_flags[-reach:])
             if child.is_element and child.tag == "p":
-                stats = stats_cache.get(id(child))
-                if stats is None:
-                    stats = get_stopword_count(child.get_text(), lang)
-                    stats_cache[id(child)] = stats
-                recent_p_flags.append(stats.stop_word_count > C.BOOST_MIN_STOPWORDS)
+                cnt = stats_cache.get(id(child))
+                if cnt is None:
+                    cnt = stopword_count_fast(child.raw_text(), lang)
+                    stats_cache[id(child)] = cnt
+                recent_p_flags.append(cnt > C.BOOST_MIN_STOPWORDS)
     return out
 
 
@@ -97,12 +97,12 @@ def calculate_best_node(root: Node, lang: str | None) -> Node | None:
     grandparents, return argmax parent (first-in-document-order tie-break)."""
     candidates = root.get_elements_by_tag(*C.CANDIDATE_TAGS)
 
-    stats_cache: dict[int, WordStats] = {}
+    stats_cache: dict[int, int] = {}
     nodes_with_text: list[Node] = []
     for node in candidates:
-        stats = get_stopword_count(node.get_text(), lang)
-        stats_cache[id(node)] = stats
-        if stats.stop_word_count > C.CANDIDATE_MIN_STOPWORDS and not is_highlink_density(node, lang):
+        cnt = stopword_count_fast(node.raw_text(), lang)
+        stats_cache[id(node)] = cnt
+        if cnt > C.CANDIDATE_MIN_STOPWORDS and not is_highlink_density(node, lang):
             nodes_with_text.append(node)
 
     boostable = _precompute_boostable(nodes_with_text, lang, stats_cache)
@@ -127,8 +127,7 @@ def calculate_best_node(root: Node, lang: str | None) -> Node | None:
                 if negscore > C.NEGATIVE_SCORING_CLAMP_TOTAL:
                     boost_score = float(C.NEGATIVE_SCORING_CLAMP_VALUE)
 
-        stats = stats_cache[id(node)]
-        upscore = int(stats.stop_word_count + boost_score)
+        upscore = int(stats_cache[id(node)] + boost_score)
 
         parent = node.parent
         if parent is None:
@@ -164,10 +163,10 @@ def _get_siblings_baseline_score(top_node: Node, lang: str | None) -> float:
     paragraphs_number = 0
     paragraphs_score = 0.0
     for node in top_node.get_elements_by_tag("p"):
-        stats = get_stopword_count(node.get_text(), lang)
-        if stats.stop_word_count > C.CANDIDATE_MIN_STOPWORDS and not is_highlink_density(node, lang):
+        cnt = stopword_count_fast(node.raw_text(), lang)
+        if cnt > C.CANDIDATE_MIN_STOPWORDS and not is_highlink_density(node, lang):
             paragraphs_number += 1
-            paragraphs_score += stats.stop_word_count
+            paragraphs_score += cnt
     if paragraphs_number > 0:
         base = paragraphs_score / paragraphs_number
     return base

@@ -60,6 +60,28 @@ def resolve_language(lang: str | None) -> str:
     return DEFAULT_LANGUAGE
 
 
+def stopword_count_fast(content: str, lang: str | None = None) -> int:
+    """``get_stopword_count(content, lang).stop_word_count`` without the
+    inner-trim and overlap-list allocations — the scoring hot path only
+    ever consumes the count.
+
+    Equivalence proof: the canonical path inner-trims, strips punctuation,
+    lowercases, splits on single spaces, and counts tokens in the table.
+    Punctuation stripping never touches whitespace, and the table holds no
+    empty string, so counting over ``raw.translate().lower().split()``
+    (whitespace split, empties dropped, trim-insensitive) yields the
+    identical count; byte-identity is guarded by the golden suite.
+    """
+    if not content:
+        return 0
+    table = STOPWORDS[resolve_language(lang)]
+    n = 0
+    for w in content.translate(_PUNCT_TABLE).lower().split():
+        if w in table:
+            n += 1
+    return n
+
+
 def get_stopword_count(content: str, lang: str | None = None) -> WordStats:
     """Count tokens of `content` present in the per-language stopword set.
 

@@ -28,9 +28,10 @@ def main() -> None:
     ap.add_argument("--iceberg", action="store_true")
     args = ap.parse_args()
 
-    from pyspark.sql import SparkSession
-
     from goose_spark import job as J
+
+    J.apply_malloc_env()  # local mode; on a cluster use spark.executorEnv.*
+    from pyspark.sql import SparkSession
 
     spark = SparkSession.builder.appName(f"goose-extract-{args.run_id}").getOrCreate()
     J.configure_session(spark)

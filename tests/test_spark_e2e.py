@@ -45,7 +45,8 @@ def test_status_and_metrics_reconcile(spark, extracted_and_expected):
                                      "bytes_in", "parse_ms"]])
     m = J.metrics_from_extracted(sdf, "t").toPandas()
     assert m.docs_in.sum() == len(out)
-    assert (m.ok + m.parse_failures + m.empty_extractions + m.decode_errors).sum() == len(out)
+    assert (m.ok + m.parse_failures + m.empty_extractions + m.decode_errors
+            + m.timeouts).sum() == len(out)
     assert m.bytes_processed.sum() == out.bytes_in.sum()
 
 
@@ -110,3 +111,23 @@ def test_resume_job_kill_and_rerun(spark, sf0001_fixtures, tmp_path_factory):
     assert resumed.exceptAll(single).count() == 0
     assert single.exceptAll(resumed).count() == 0
     shutil.rmtree(out_dir, ignore_errors=True)
+
+
+def test_per_doc_timeout_yields_timeout_row(spark):
+    """A document exceeding the per-doc budget becomes a status='timeout'
+    row instead of a pinned task (SURVEY.md §4.2). The budget rides the
+    UDF closure, so it reaches the worker processes."""
+    html = (b"<html><body><div>"
+            + b"<p>Some of the words that we know are stopwords here.</p>" * 500
+            + b"</div></body></html>")
+    pages = spark.createDataFrame(
+        [("https://slow.example/a", None, bytearray(html), "en")],
+        schema="url string, warc_ts timestamp, html binary, lang string")
+    rows = J.extract(pages, partitions=2, doc_timeout_s=1e-4).collect()
+    assert len(rows) == 1
+    assert rows[0].status == "timeout"
+    assert rows[0].cleaned_text == ""
+    assert "budget" in rows[0].err
+    # and with the default budget the same page extracts fine
+    ok = J.extract(pages, partitions=2).collect()
+    assert ok[0].status == "ok"
