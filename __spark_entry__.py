@@ -84,6 +84,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # training-data ops: dedup / text analysis
         "q_dedup_exact": T.q_dedup_exact,
         "q_token_count": T.q_token_count,
+        "q_token_bpeish": T.q_token_bpeish,
         "q_quality_score": T.q_quality_score,
         "q_fingerprint": T.q_fingerprint,
         "q_minhash_pairs": T.q_minhash_pairs,              # rows-only
@@ -130,6 +131,7 @@ def oracle_sql() -> dict[str, str]:
         "q_grouped_agg": Q.ORACLE_GROUPED_AGG,
         "q_dedup_exact": T.ORACLE_DEDUP_EXACT,
         "q_token_count": T.ORACLE_TOKEN_COUNT,
+        "q_token_bpeish": T.ORACLE_TOKEN_BPEISH,
         "q_quality_score": T.ORACLE_QUALITY_SCORE,
         "q_fingerprint": T.ORACLE_FINGERPRINT,
         "q_ngram_jaccard": T.ORACLE_NGRAM_JACCARD,
