@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import os
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -192,6 +193,16 @@ def run_job_df(spark: SparkSession, pages: DataFrame, out_dir: str,
 
     Write order is the exactly-once-ish contract: EXTRACTED first, then
     METRICS, then the checkpoint rows for the urls just completed.
+
+    Everything after the extraction derives from **this batch only** —
+    the batch DF is persisted (populated as a side effect of the durable
+    write), and metrics / checkpoint / row count are computed from the
+    cache. The job never re-reads the output directory: a resumed or
+    incremental run is O(batch), not O(total history), and each run's
+    METRICS rows count only the documents that run actually processed
+    (per-run lineage, BASELINE.json:6). On an Iceberg cluster the same
+    batch-scoping falls out of reading the write's snapshot
+    incrementally; locally the persisted DF is the snapshot.
     """
     configure_session(spark)
     extracted_path = os.path.join(out_dir, "extracted")
@@ -203,22 +214,30 @@ def run_job_df(spark: SparkSession, pages: DataFrame, out_dir: str,
         checkpoint = spark.read.parquet(ckpt_path)
 
     todo = prepare(pages, checkpoint, run_id)
-    extracted = extract(todo, partitions)
+    batch = extract(todo, partitions).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        # B20: partitioned append; partition by size bucket (dt at real
+        # scale). This action also populates the persisted batch.
+        batch.write.mode("append").partitionBy("bucket").parquet(extracted_path)
 
-    # B20: partitioned append; partition by size bucket (dt at real scale)
-    extracted.write.mode("append").partitionBy("bucket").parquet(extracted_path)
+        metrics_from_extracted(batch, run_id).write.mode("append").parquet(metrics_path)
+        n = batch.count()  # from the cache, before the ckpt append below
 
-    done = spark.read.parquet(extracted_path)
-    metrics_from_extracted(done, run_id).write.mode("append").parquet(metrics_path)
-
-    # B21: checkpoint append strictly AFTER the durable extracted write
-    (
-        done.select("url").distinct()
-        .withColumn("run_id", F.lit(run_id))
-        .withColumn("completed_ts", F.current_timestamp())
-        .select("run_id", "url", "completed_ts")
-        .write.mode("overwrite").parquet(ckpt_path)
-    )
-    n = done.count()
-    return {"extracted_rows": n, "extracted_path": extracted_path,
+        # B21: checkpoint APPEND (not rewrite) strictly AFTER the durable
+        # extracted write — only the urls this batch completed. NOTHING
+        # may read `batch` after this append: the batch plan anti-joins
+        # against ckpt_path, so appending there invalidates the cache
+        # (recacheByPath) and any later access would recompute against
+        # the updated checkpoint (observed: count()==0).
+        (
+            batch.select("url").distinct()
+            .withColumn("run_id", F.lit(run_id))
+            .withColumn("completed_ts", F.current_timestamp())
+            .select("run_id", "url", "completed_ts")
+            .write.mode("append").parquet(ckpt_path)
+        )
+    finally:
+        batch.unpersist()
+    return {"batch_rows": n, "extracted_rows": n,
+            "extracted_path": extracted_path,
             "metrics_path": metrics_path, "checkpoint_path": ckpt_path}

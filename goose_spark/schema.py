@@ -56,6 +56,7 @@ METRICS = StructType([
     StructField("parse_failures", LongType(), True),
     StructField("empty_extractions", LongType(), True),
     StructField("decode_errors", LongType(), True),
+    StructField("timeouts", LongType(), True),
     StructField("bytes_processed", LongType(), True),
     StructField("wall_ms", DoubleType(), True),
     StructField("started_ts", TimestampType(), True),

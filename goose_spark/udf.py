@@ -39,18 +39,30 @@ def _extract_with_timeout(html, lang, url, budget_s: float):
         return extract_one(html, lang, url)  # not main thread / platform
     try:
         signal.setitimer(signal.ITIMER_REAL, budget_s)
-        return extract_one(html, lang, url)
+        result = extract_one(html, lang, url)
+        # Disarm INSIDE the guarded region: if the alarm lands in the gap
+        # between extract_one returning and the timer being cleared, the
+        # ExtractionTimeout is still caught below instead of escaping the
+        # function and failing the whole Spark task. (A further window of
+        # 1-2 bytecodes remains at the top of the finally; extract_batches
+        # catches ExtractionTimeout at the call site to close it.)
+        signal.setitimer(signal.ITIMER_REAL, 0.0)
+        return result
     except ExtractionTimeout:
-        from gooselite.pipeline import STATUS_TIMEOUT, _empty_result
-        from gooselite.text import resolve_language
-
-        return _empty_result(url, STATUS_TIMEOUT,
-                             f"exceeded {budget_s:.0f}s budget",
-                             len(html) if html else 0,
-                             resolve_language(lang), budget_s * 1000.0)
+        return _timeout_result(html, lang, url, budget_s)
     finally:
         signal.setitimer(signal.ITIMER_REAL, 0.0)
         signal.signal(signal.SIGALRM, prev)
+
+
+def _timeout_result(html, lang, url, budget_s: float):
+    from gooselite.pipeline import STATUS_TIMEOUT, _empty_result
+    from gooselite.text import resolve_language
+
+    return _empty_result(url, STATUS_TIMEOUT,
+                         f"exceeded {budget_s:.0f}s budget",
+                         len(html) if html else 0,
+                         resolve_language(lang), budget_s * 1000.0)
 
 # column order must match goose_spark.schema.EXTRACTED
 _OUT_COLS = [
@@ -90,22 +102,38 @@ def extract_batches(it: Iterator[pd.DataFrame],
     ctx = TaskContext.get()
     pid = ctx.partitionId() if ctx is not None else -1
     budget = DOC_TIMEOUT_S if doc_timeout_s is None else doc_timeout_s
+    from gooselite.pipeline import ExtractionTimeout
+
     # Cyclic-GC policy: extract_one dispose()s each DOM so refcounting
     # reclaims the bulk; threshold-triggered collections during the
     # million-allocation parse phase would re-walk every live container
     # (~30% slowdown, worse under 32 concurrent workers). Disable the
     # collector and run one collect per batch for detached-subtree scraps.
+    # Spark reuses Python workers across tasks (spark.python.worker.reuse),
+    # so the prior state MUST be restored on exit — including exceptional
+    # exit — or the collector stays off for every later task in the app.
+    gc_was_enabled = gc.isenabled()
     gc.disable()
-    for pdf in it:
-        rows = []
-        for url, warc_ts, html, lang, bucket in zip(
-            pdf["url"], pdf["warc_ts"], pdf["html"], pdf["lang"], pdf["bucket"]
-        ):
-            r = _extract_with_timeout(html, lang, url, budget)
-            r["warc_ts"] = warc_ts
-            r["partition_id"] = pid
-            r["bucket"] = int(bucket) if pd.notna(bucket) else 0
-            rows.append(r)
-        out = pd.DataFrame(rows, columns=_OUT_COLS)
-        gc.collect()
-        yield out
+    try:
+        for pdf in it:
+            rows = []
+            for url, warc_ts, html, lang, bucket in zip(
+                pdf["url"], pdf["warc_ts"], pdf["html"], pdf["lang"], pdf["bucket"]
+            ):
+                try:
+                    r = _extract_with_timeout(html, lang, url, budget)
+                except ExtractionTimeout:
+                    # alarm delivered in _extract_with_timeout's 1-2
+                    # bytecode disarm window — doc finished at the budget
+                    # boundary; record it as a timeout row, not a task kill
+                    r = _timeout_result(html, lang, url, budget)
+                r["warc_ts"] = warc_ts
+                r["partition_id"] = pid
+                r["bucket"] = int(bucket) if pd.notna(bucket) else 0
+                rows.append(r)
+            out = pd.DataFrame(rows, columns=_OUT_COLS)
+            gc.collect()
+            yield out
+    finally:
+        if gc_was_enabled:
+            gc.enable()

@@ -101,7 +101,21 @@ def test_resume_job_kill_and_rerun(spark, sf0001_fixtures, tmp_path_factory):
 
     r1 = J.run_job(spark, half_path, out_dir, run_id="r", partitions=4)
     r2 = J.run_job(spark, pages_path, out_dir, run_id="r", partitions=4)
-    assert r2["extracted_rows"] > r1["extracted_rows"]
+    # batch_rows is per-run: the resume run extracts ONLY the missing urls
+    n_total = J.prepare(pages).count()
+    assert r1["batch_rows"] + r2["batch_rows"] == n_total
+    assert 0 < r2["batch_rows"] < n_total
+
+    # per-run lineage contract: each run's METRICS rows count only that
+    # run's documents — a resumed run must NOT re-count prior history
+    m = spark.read.parquet(r2["metrics_path"])
+    import pyspark.sql.functions as SF
+    per_run = {r["run_id"]: r["docs"] for r in
+               m.groupBy("run_id").agg(SF.sum("docs_in").alias("docs")).collect()}
+    assert per_run == {"r": n_total}  # both batches, no double count
+    # checkpoint accumulated by APPEND: every url exactly once for run r
+    ck = spark.read.parquet(r2["checkpoint_path"])
+    assert ck.filter("run_id = 'r'").select("url").distinct().count() == n_total
 
     resumed = spark.read.parquet(r2["extracted_path"]).select("url", "cleaned_text", "status")
     single_dir = str(tmp_path_factory.mktemp("single"))
