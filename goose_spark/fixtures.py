@@ -30,6 +30,16 @@ from gooselite.stopwords_data import STOPWORDS
 
 EPOCH = datetime(2025, 1, 1, tzinfo=timezone.utc)
 
+# Bump when the template or stopword tables change: the /tmp cache key
+# includes it, so stale fixtures regenerate instead of mismatching code.
+FIXTURE_VERSION = 2
+
+# Languages cycled onto a deterministic share of docs so fixtures exercise
+# every shipped stopword table (VERDICT r1 item 3), beyond the seed
+# corpus's en/fr/es/de/zh. 'nb'/'no' share one table; both codes appear.
+_SPREAD_LANGS = ("da", "fi", "hu", "id", "it", "nb", "nl", "no", "pl",
+                 "pt", "ru", "sv")
+
 # first 8 purely-alphabetic stopwords per language (sorted order) — the
 # paragraph prefix guaranteeing stopword_count >= 6 in every paragraph
 _PREFIX: dict[str, list[str]] = {
@@ -45,7 +55,9 @@ _LINKY = (
 _HEAD = (
     "<!DOCTYPE html>\n"
     '<html lang="{lang}"><head><meta charset="{charset}">\n'
-    "<title>{title} | s{site}</title>\n"
+    "<title>{title_tag} | s{site}</title>\n"
+    "{og_title}"
+    "{publish_meta}"
     '<meta name="description" content="{desc}">\n'
     '<meta name="keywords" content="{keywords}">\n'
     '<link rel="canonical" href="{canonical}">\n'
@@ -113,18 +125,29 @@ def _build_doc(doc_id: int, text: str, lang: str | None) -> dict:
     return {"title": title, "paras": paras, "sibling": sibling, "eff": eff}
 
 
-def _render(doc_id: int, built: dict, page_lang_attr: str, charset: str) -> str:
+def _render(doc_id: int, built: dict, page_lang_attr: str, charset: str,
+            og_title: bool = False, publish_date: str | None = None,
+            movies: list[str] | None = None) -> str:
     site = doc_id % 40
+    # og:title pages carry a boilerplate <title> the extractor must NOT
+    # pick (A4: og:title wins)
+    title_tag = "untitled document page" if og_title else built["title"]
+    og = (f'<meta property="og:title" content="{built["title"]}">\n'
+          if og_title else "")
+    pub = (f'<meta property="article:published_time" content="{publish_date}">\n'
+           if publish_date else "")
     head = _HEAD.format(
-        lang=page_lang_attr, charset=charset, title=built["title"], site=site,
+        lang=page_lang_attr, charset=charset, title_tag=title_tag,
+        og_title=og, publish_meta=pub, site=site,
         desc=f"summary of article {doc_id}", keywords=f"k{doc_id % 7}, k{doc_id % 11}",
         canonical=f"/canon/{doc_id}",
     )
     paras_html = "\n".join(f"<p>{p}</p>" for p in built["paras"])
+    movies_html = "".join(f'<iframe src="{m}"></iframe>\n' for m in (movies or []))
     body = (
         _BOILER.format(linky=_LINKY)
         + f'<div class="prelude"><p>{built["sibling"]}</p></div>\n'
-        + f'<div class="article-body">\n{paras_html}\n</div>\n'
+        + f'<div class="article-body">\n{paras_html}\n{movies_html}</div>\n'
         + _TAIL.format(linky=_LINKY)
     )
     return head + body
@@ -148,6 +171,12 @@ def generate(documents_parquet: str, out_dir: str, copies: int = 1) -> tuple[str
     for _, d in docs.iterrows():
         doc_id = int(d.doc_id)
         doc_lang = d.lang
+        # spread a third of docs across every shipped stopword table so
+        # all 16 language codes appear in fixtures (seed corpus has 5)
+        if doc_id % 3 == 2:
+            # index by doc_id//3 (coprime stride) — doc_id % 12 would alias
+            # with the %3 gate and only ever pick 4 of the 12 languages
+            doc_lang = _SPREAD_LANGS[(doc_id // 3) % len(_SPREAD_LANGS)]
         built = _build_doc(doc_id, d.text or "", doc_lang)
 
         null_lang = doc_id % 50 == 9          # ~2%: lang column NULL
@@ -155,21 +184,45 @@ def generate(documents_parquet: str, out_dir: str, copies: int = 1) -> tuple[str
         null_html = doc_id % 100 == 7         # ~1%: NULL html
         truncated = doc_id % 100 == 17        # ~1%: head-only truncation
         dup = doc_id % 20 == 3                # ~5%: second (url, warc_ts+1h) row
+        og_title = doc_id % 25 == 21          # ~4%: boilerplate <title>, og:title real
+        with_movie = doc_id % 25 == 11        # ~4%: embedded video iframe
+
+        publish_date = None
+        if doc_id % 5 != 0:                   # 80%: article:published_time meta
+            pd_ts = EPOCH + timedelta(hours=(doc_id * 7919) % 8760)
+            publish_date = pd_ts.strftime("%Y-%m-%dT%H:%M:%S+00:00")
+        movies = ([f"https://www.youtube.com/embed/v{doc_id}"] if with_movie else [])
 
         charset = "iso-8859-1" if latin1 else "utf-8"
-        html_text = _render(doc_id, built, doc_lang or built["eff"], charset)
-        html_bytes: bytes | None = html_text.encode("iso-8859-1" if latin1 else "utf-8")
+        html_text = _render(doc_id, built, doc_lang or built["eff"], charset,
+                            og_title=og_title, publish_date=publish_date,
+                            movies=movies)
+        html_bytes: bytes | None
+        try:
+            html_bytes = html_text.encode(charset)
+        except UnicodeEncodeError:
+            # language prefix not representable in latin-1 (pl/ru/hu…):
+            # deterministically fall back to a utf-8 page
+            charset = "utf-8"
+            html_text = _render(doc_id, built, doc_lang or built["eff"], charset,
+                                og_title=og_title, publish_date=publish_date,
+                                movies=movies)
+            html_bytes = html_text.encode(charset)
 
         status = "ok"
         expected_text = "\n\n".join([built["sibling"]] + built["paras"])
         expected_title = built["title"]
+        expected_publish = publish_date
+        expected_movies = list(movies)
         if null_html:
             html_bytes = None
             status, expected_text, expected_title = "empty", "", ""
+            expected_publish, expected_movies = None, []
         elif truncated:
             cut = html_text.encode("utf-8").find(b"<title")
             html_bytes = html_text.encode("utf-8")[:cut]
             status, expected_text, expected_title = "empty", "", ""
+            expected_publish, expected_movies = None, []
 
         for c in range(copies):
             suffix = "" if c == 0 else f"-{c}"
@@ -183,7 +236,9 @@ def generate(documents_parquet: str, out_dir: str, copies: int = 1) -> tuple[str
                              "html": html_bytes, "text": d.text, "lang": lang_col})
             goldens.append({"url": url, "expected_text": expected_text,
                             "expected_title": expected_title,
-                            "expected_status": status, "lang": built["eff"]})
+                            "expected_status": status, "lang": built["eff"],
+                            "expected_publish_date": expected_publish,
+                            "expected_movies": expected_movies})
 
     pages_schema = pa.schema([
         ("url", pa.string()), ("warc_ts", pa.timestamp("us", tz="UTC")),
@@ -198,8 +253,11 @@ def generate(documents_parquet: str, out_dir: str, copies: int = 1) -> tuple[str
 
 
 def fixture_dir_for(sf_dir: str, copies: int = 1) -> str:
-    """Deterministic cache location under /tmp for a given sf dir."""
-    tag = os.path.basename(os.path.normpath(sf_dir)) + (f"x{copies}" if copies > 1 else "")
+    """Deterministic cache location under /tmp for a given sf dir; keyed
+    by FIXTURE_VERSION so template/stopword changes regenerate."""
+    tag = (os.path.basename(os.path.normpath(sf_dir))
+           + (f"x{copies}" if copies > 1 else "")
+           + f"_v{FIXTURE_VERSION}")
     return os.path.join("/tmp", "goose_fixtures", tag)
 
 

@@ -125,10 +125,12 @@ def salted_repartition(df: DataFrame, partitions: int) -> DataFrame:
 
 
 def extract(pages: DataFrame, partitions: int | None = None,
-            doc_timeout_s: float | None = None) -> DataFrame:
+            doc_timeout_s: float | None = None, config=None) -> DataFrame:
     """The extraction operator (B17): prune columns, bucket, salt, then one
     mapInPandas pass with gooselite. doc_timeout_s: per-doc wall budget
-    (None → GOOSE_DOC_TIMEOUT_S env, default 300s; 0 disables)."""
+    (None → GOOSE_DOC_TIMEOUT_S env, default 300s; 0 disables).
+    config: optional gooselite.config.ExtractionConfig (A21) riding the
+    UDF closure to every worker."""
     spark = pages.sparkSession
     configure_session(spark)
     if partitions is None:
@@ -146,7 +148,7 @@ def extract(pages: DataFrame, partitions: int | None = None,
     # the same Arrow batches (measured: ~2× worker-side slowdown from
     # allocator churn). A cheap in-partition hash sort interleaves sizes.
     shuffled = salted.sortWithinPartitions(F.xxhash64(F.col("url"), F.lit(1)))
-    return shuffled.mapInPandas(make_extract_batches(doc_timeout_s),
+    return shuffled.mapInPandas(make_extract_batches(doc_timeout_s, config),
                                 schema=EXTRACTED)
 
 
@@ -169,6 +171,7 @@ def metrics_from_extracted(extracted: DataFrame, run_id: str) -> DataFrame:
             F.sum((F.col("status") == "empty").cast("long")).alias("empty_extractions"),
             F.sum((F.col("status") == "decode_error").cast("long")).alias("decode_errors"),
             F.sum((F.col("status") == "timeout").cast("long")).alias("timeouts"),
+            F.sum(F.col("lang_fallback").cast("long")).alias("lang_fallbacks"),
             F.sum("bytes_in").alias("bytes_processed"),
             F.sum("parse_ms").alias("wall_ms"),
         )
@@ -176,7 +179,8 @@ def metrics_from_extracted(extracted: DataFrame, run_id: str) -> DataFrame:
         .withColumn("started_ts", F.current_timestamp())
         .select("run_id", "partition_id", "bucket", "lang", "docs_in", "ok",
                 "parse_failures", "empty_extractions", "decode_errors",
-                "timeouts", "bytes_processed", "wall_ms", "started_ts")
+                "timeouts", "lang_fallbacks", "bytes_processed", "wall_ms",
+                "started_ts")
     )
 
 

@@ -6,6 +6,7 @@ from __future__ import annotations
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
+    BooleanType,
     DoubleType,
     IntegerType,
     LongType,
@@ -37,6 +38,9 @@ EXTRACTED = StructType([
     StructField("canonical_link", StringType(), True),
     StructField("domain", StringType(), True),
     StructField("tags", ArrayType(StringType()), True),
+    StructField("movies", ArrayType(StringType()), True),  # A18 video srcs
+    StructField("publish_date", StringType(), True),  # A19, as stated on page
+    StructField("lang_fallback", BooleanType(), True),  # A5 non-primary lang
     StructField("status", StringType(), False),       # ok|empty|parse_error|decode_error
     StructField("err", StringType(), True),
     StructField("bytes_in", LongType(), True),
@@ -57,6 +61,7 @@ METRICS = StructType([
     StructField("empty_extractions", LongType(), True),
     StructField("decode_errors", LongType(), True),
     StructField("timeouts", LongType(), True),
+    StructField("lang_fallbacks", LongType(), True),  # A5 promised metric
     StructField("bytes_processed", LongType(), True),
     StructField("wall_ms", DoubleType(), True),
     StructField("started_ts", TimestampType(), True),

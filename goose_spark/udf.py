@@ -23,9 +23,10 @@ from gooselite.pipeline import extract_one
 DOC_TIMEOUT_S = float(os.environ.get("GOOSE_DOC_TIMEOUT_S", "300"))
 
 
-def _extract_with_timeout(html, lang, url, budget_s: float):
+def _extract_with_timeout(html, lang, url, budget_s: float, config=None):
+    kw = {} if config is None else {"config": config}
     if budget_s <= 0:
-        return extract_one(html, lang, url)
+        return extract_one(html, lang, url, **kw)
     import signal
 
     from gooselite.pipeline import ExtractionTimeout
@@ -36,10 +37,10 @@ def _extract_with_timeout(html, lang, url, budget_s: float):
     try:
         prev = signal.signal(signal.SIGALRM, _on_alarm)
     except (ValueError, OSError, AttributeError):
-        return extract_one(html, lang, url)  # not main thread / platform
+        return extract_one(html, lang, url, **kw)  # not main thread / platform
     try:
         signal.setitimer(signal.ITIMER_REAL, budget_s)
-        result = extract_one(html, lang, url)
+        result = extract_one(html, lang, url, **kw)
         # Disarm INSIDE the guarded region: if the alarm lands in the gap
         # between extract_one returning and the timer being cleared, the
         # ExtractionTimeout is still caught below instead of escaping the
@@ -56,36 +57,47 @@ def _extract_with_timeout(html, lang, url, budget_s: float):
 
 
 def _timeout_result(html, lang, url, budget_s: float):
-    from gooselite.pipeline import STATUS_TIMEOUT, _empty_result
+    from gooselite.pipeline import (
+        STATUS_TIMEOUT,
+        _empty_result,
+        _requested_lang_ok,
+    )
     from gooselite.text import resolve_language
 
     return _empty_result(url, STATUS_TIMEOUT,
                          f"exceeded {budget_s:.0f}s budget",
                          len(html) if html else 0,
-                         resolve_language(lang), budget_s * 1000.0)
+                         resolve_language(lang), budget_s * 1000.0,
+                         lang_fallback=not _requested_lang_ok(lang))
 
 # column order must match goose_spark.schema.EXTRACTED
 _OUT_COLS = [
     "url", "warc_ts", "lang", "title", "cleaned_text", "meta_description",
     "meta_keywords", "meta_lang", "canonical_link", "domain", "tags",
+    "movies", "publish_date", "lang_fallback",
     "status", "err", "bytes_in", "parse_ms", "partition_id", "bucket",
 ]
 
 
-def make_extract_batches(doc_timeout_s: float | None = None):
-    """Build the mapInPandas body with an explicit per-doc budget. The
-    budget is captured in the closure so it serializes to the workers
-    (a module global patched on the driver never reaches them)."""
+def make_extract_batches(doc_timeout_s: float | None = None, config=None):
+    """Build the mapInPandas body with an explicit per-doc budget and an
+    optional ExtractionConfig (A21). Both are captured in the closure so
+    they serialize to the workers (a module global patched on the driver
+    never reaches them). config.doc_timeout_s is used when doc_timeout_s
+    is not given explicitly."""
+    if doc_timeout_s is None and config is not None:
+        doc_timeout_s = config.doc_timeout_s
     budget = DOC_TIMEOUT_S if doc_timeout_s is None else doc_timeout_s
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        return extract_batches(it, budget)
+        return extract_batches(it, budget, config)
 
     return _batches
 
 
 def extract_batches(it: Iterator[pd.DataFrame],
-                    doc_timeout_s: float | None = None) -> Iterator[pd.DataFrame]:
+                    doc_timeout_s: float | None = None,
+                    config=None) -> Iterator[pd.DataFrame]:
     """mapInPandas body: (url, warc_ts, html, lang, bucket) → EXTRACTED.
 
     Input batches are Arrow record batches sized by
@@ -121,7 +133,7 @@ def extract_batches(it: Iterator[pd.DataFrame],
                 pdf["url"], pdf["warc_ts"], pdf["html"], pdf["lang"], pdf["bucket"]
             ):
                 try:
-                    r = _extract_with_timeout(html, lang, url, budget)
+                    r = _extract_with_timeout(html, lang, url, budget, config)
                 except ExtractionTimeout:
                     # alarm delivered in _extract_with_timeout's 1-2
                     # bytecode disarm window — doc finished at the budget

@@ -28,16 +28,29 @@ def _split_title(title_text: str, splitter: str) -> str:
 
 
 def get_title(root: Node) -> str:
-    els = root.get_elements_by_tag("title")
-    if not els:
-        return ""
-    title_text = els[0].get_text()
+    """A4: og:title wins over <title>; either way split on the first
+    matching splitter and keep the longest segment (SURVEY.md A4)."""
+    title_text = _meta_property(root, "og:title")
+    if not title_text:
+        els = root.get_elements_by_tag("title")
+        if not els:
+            return ""
+        title_text = els[0].get_text()
     used = False
     for splitter in TITLE_SPLITTERS:
         if splitter in title_text and not used:
             title_text = _split_title(title_text, splitter)
             used = True
     return inner_trim(_MOTLEY_RE.sub("", title_text))
+
+
+def _meta_property(root: Node, prop_value: str) -> str:
+    """First <meta property=...> content (og:* family), inner-trimmed."""
+    target = prop_value.lower()
+    for meta in root.get_elements_by_tag("meta"):
+        if meta.attrib.get("property", "").lower() == target:
+            return inner_trim(meta.attrib.get("content", ""))
+    return ""
 
 
 def _meta_content(root: Node, name_attr: str, name_value: str) -> str:
@@ -88,6 +101,62 @@ def get_domain(url: str) -> str:
         return urlparse(url).netloc
     except ValueError:
         return ""
+
+
+# A19: meta names/properties carrying the publish timestamp, in priority
+# order — og/article first, then the common CMS conventions.
+_PUBLISH_META = (
+    ("property", "article:published_time"),
+    ("property", "og:article:published_time"),
+    ("itemprop", "datePublished"),
+    ("name", "pubdate"),
+    ("name", "publishdate"),
+    ("name", "publish-date"),
+    ("name", "dc.date.issued"),
+    ("name", "dc.date"),
+    ("name", "sailthru.date"),
+    ("name", "parsely-pub-date"),
+    ("name", "date"),
+)
+
+
+def get_publish_date(root: Node) -> str | None:
+    """A19: publish timestamp as the page states it (no reformatting —
+    byte-stable, parseable downstream with to_timestamp). Meta tags in
+    `_PUBLISH_META` priority order, then the first <time datetime=...>."""
+    for attr, value in _PUBLISH_META:
+        target = value.lower()
+        for meta in root.get_elements_by_tag("meta"):
+            if meta.attrib.get(attr, "").lower() == target:
+                content = inner_trim(meta.attrib.get("content", ""))
+                if content:
+                    return content
+    for t in root.get_elements_by_tag("time"):
+        dt = inner_trim(t.attrib.get("datetime", ""))
+        if dt:
+            return dt
+    return None
+
+
+# A18: hosted-video sources the Goose lineage recognizes.
+_MOVIE_SRC_RE = re.compile(
+    r"(youtube\.com|youtube-nocookie\.com|youtu\.be|player\.vimeo\.com"
+    r"|vimeo\.com|dailymotion\.com)", re.IGNORECASE)
+
+
+def get_movies(root: Node) -> list[str]:
+    """A18: src urls of <iframe>/<embed>/<object data=...> pointing at a
+    known video host; iframes first then embeds then objects, document
+    order within each group, duplicates dropped (first wins)."""
+    movies: list[str] = []
+    seen: set[str] = set()
+    for tag, attr in (("iframe", "src"), ("embed", "src"), ("object", "data")):
+        for el in root.get_elements_by_tag(tag):
+            src = el.attrib.get(attr, "").strip()
+            if src and src not in seen and _MOVIE_SRC_RE.search(src):
+                seen.add(src)
+                movies.append(src)
+    return movies
 
 
 _TAG_HREF_RE = re.compile(r"/tag[s]?/")

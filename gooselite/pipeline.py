@@ -16,6 +16,7 @@ import time
 from typing import Any
 
 from gooselite.cleaner import clean_document
+from gooselite.config import DEFAULT_CONFIG, ExtractionConfig
 from gooselite.encoding import DecodeError, decode_html
 from gooselite.formatter import get_formatted_text
 from gooselite.metadata import (
@@ -25,6 +26,8 @@ from gooselite.metadata import (
     get_meta_description,
     get_meta_keywords,
     get_meta_lang,
+    get_movies,
+    get_publish_date,
     get_title,
 )
 from gooselite.minidom import ParseError, dispose, parse_html
@@ -47,68 +50,87 @@ STATUS_TIMEOUT = "timeout"  # emitted by the Spark UDF's per-doc budget
 
 
 def _empty_result(url: str, status: str, err: str | None, bytes_in: int,
-                  lang: str, parse_ms: float) -> dict[str, Any]:
+                  lang: str, parse_ms: float,
+                  lang_fallback: bool = True) -> dict[str, Any]:
     return {
         "url": url, "lang": lang, "title": "", "cleaned_text": "",
         "meta_description": "", "meta_keywords": "", "meta_lang": None,
         "canonical_link": "", "domain": get_domain(url), "tags": [],
+        "movies": [], "publish_date": None, "lang_fallback": lang_fallback,
         "status": status, "err": err, "bytes_in": bytes_in,
         "parse_ms": parse_ms,
     }
 
 
-def extract_one(html: bytes | None, lang: str | None, url: str) -> dict[str, Any]:
+def _requested_lang_ok(lang: str | None) -> bool:
+    """True iff the primary lang source maps directly to a shipped table."""
+    return bool(lang) and lang.strip().lower()[:2] in STOPWORDS
+
+
+def extract_one(html: bytes | None, lang: str | None, url: str,
+                config: ExtractionConfig = DEFAULT_CONFIG) -> dict[str, Any]:
     """Extract the main article content of one page.
 
     Returns a dict matching goose_spark.schema.EXTRACTED (minus warc_ts,
     which the Spark layer passes through). ``lang`` in the result is the
-    EFFECTIVE language whose stopword table was used: the lang column is
-    primary (BASELINE.json:6), document meta-lang is the fallback, then
-    'en' (SURVEY.md A5).
+    EFFECTIVE language whose stopword table was used: config's
+    target_language overrides everything (A21/EP3), else the lang column
+    is primary (BASELINE.json:6), document meta-lang is the fallback,
+    then 'en' (SURVEY.md A5). ``lang_fallback`` is True when the primary
+    source did NOT directly provide the table (feeds the METRICS
+    lang_fallbacks count).
     """
     t0 = time.perf_counter()
+    primary = config.target_language or lang
+    fallback = not _requested_lang_ok(primary)
     bytes_in = len(html) if html else 0
     if not html:
         return _empty_result(url, STATUS_EMPTY, "no html bytes", 0,
-                             resolve_language(lang), 0.0)
+                             resolve_language(primary), 0.0, fallback)
 
     try:
         text, _encoding = decode_html(html)
     except DecodeError as exc:
         return _empty_result(url, STATUS_DECODE_ERROR, str(exc), bytes_in,
-                             resolve_language(lang),
-                             (time.perf_counter() - t0) * 1000.0)
+                             resolve_language(primary),
+                             (time.perf_counter() - t0) * 1000.0, fallback)
 
     try:
         root = parse_html(text)
     except ParseError as exc:
         return _empty_result(url, STATUS_PARSE_ERROR, str(exc), bytes_in,
-                             resolve_language(lang),
-                             (time.perf_counter() - t0) * 1000.0)
+                             resolve_language(primary),
+                             (time.perf_counter() - t0) * 1000.0, fallback)
 
     try:
-        return _extract_parsed(root, lang, url, bytes_in, t0)
+        return _extract_parsed(root, primary, url, bytes_in, t0, config)
     finally:
         dispose(root)
 
 
 def _extract_parsed(root, lang: str | None, url: str, bytes_in: int,
-                    t0: float) -> dict[str, Any]:
+                    t0: float, config: ExtractionConfig) -> dict[str, Any]:
     # metadata BEFORE cleaning (cleaner strips <meta>-adjacent structure)
     title = get_title(root)
     meta_description = get_meta_description(root)
     meta_keywords = get_meta_keywords(root)
     meta_lang = get_meta_lang(root)
     canonical_link = get_canonical_link(root, url)
-    tags = extract_tags(root)
+    tags = extract_tags(root) if config.enable_tags else []
+    movies = get_movies(root) if config.enable_videos else []
+    publish_date = get_publish_date(root) if config.enable_publish_date else None
 
-    # A5: lang column primary, meta-lang fallback, then 'en'
-    if lang and lang.strip().lower()[:2] in STOPWORDS:
+    # A5: primary lang (target_language or lang column), meta-lang
+    # fallback, then 'en'; lang_fallback records any non-primary path
+    lang_fallback = False
+    if _requested_lang_ok(lang):
         effective_lang = lang.strip().lower()[:2]
     elif meta_lang and meta_lang in STOPWORDS:
         effective_lang = meta_lang
+        lang_fallback = True
     else:
         effective_lang = resolve_language(lang)
+        lang_fallback = True
 
     clean_document(root)
     top_node = calculate_best_node(root, effective_lang)
@@ -124,6 +146,7 @@ def _extract_parsed(root, lang: str | None, url: str, bytes_in: int,
         "cleaned_text": cleaned_text, "meta_description": meta_description,
         "meta_keywords": meta_keywords, "meta_lang": meta_lang,
         "canonical_link": canonical_link, "domain": get_domain(url),
-        "tags": tags, "status": status, "err": None,
+        "tags": tags, "movies": movies, "publish_date": publish_date,
+        "lang_fallback": lang_fallback, "status": status, "err": None,
         "bytes_in": bytes_in, "parse_ms": parse_ms,
     }

@@ -8,9 +8,13 @@ stopword lists the Goose files derive from (trimmed to the common core).
 When /root/reference mounts (empty at build time, SURVEY.md §0.1), replace
 these with the reference's files verbatim (SURVEY.md §0.3).
 
-Languages: space-delimited set per SURVEY.md A8 / FIXTURES.md §1
-(en, de, es, fr, it, pt, nl, sv). CJK segmentation variants are an explicit
-non-goal until the reference ships them (SURVEY.md §2.7).
+Languages: the full space-delimited set the Goose lineage ships files for
+(en, de, es, fr, it, pt, nl, sv, da, fi, hu, id, nb, no, pl, ru), per
+SURVEY.md A8 / §1.1 — Norwegian registered under both its bokmål (nb) and
+legacy (no) codes like the canonical resources dir. CJK segmentation
+variants (zh, ko, ar word-splitters) remain an explicit non-goal until the
+reference ships them (SURVEY.md §2.7); those codes fall back to 'en' and
+are flagged via lang_fallback.
 """
 
 from __future__ import annotations
@@ -127,11 +131,137 @@ ut utan vad var vara varför varit varje vars vart vem vi vid vilka
 vilkas vilken vilket vår våra vårt än är åt över
 """
 
+_DA = """
+ad af aldrig alle alt anden andet andre at bare begge blev blive bliver
+da de dem den denne der deres det dette dig din dine disse dog du efter
+ej eller en end ene eneste enhver er et far fem fik fire flere fordi
+forrige fra få får før god godt ham han hans har havde have hej helt
+hende hendes her hos hun hvad hvem hver hvilken hvis hvor hvordan
+hvorfor hvornår i ikke ind ingen intet ja jeg jer jeres jo kan kom
+kommer kun kunne lad lav lidt lige lille man mand mange med meget men
+mens mere mig min mine mit mod ned nej ni noget nogle nu ny nyt når
+nær næste næsten og også okay om op os otte over på se seks selv ser
+ses sig sige sin sine sit skal skulle som stor store syv så sådan tag
+tage thi ti til to tre ud uden under var ved vi vil ville vor vores
+være været
+"""
+
+_FI = """
+ei eivät emme en et ette että he hän häneen hänelle hänellä häneltä
+hänen hänessä hänestä hänet häntä itse ja johon joiden joihin joilla
+joille joilta joina joissa joista joita joka jolla jolle jolta jonka
+jos jossa josta jota jotka kanssa kenen ketä koska kuin kuka kun me
+mihin miksi mikä mille millä miltä minkä minua minulla minulle minulta
+minun minussa minusta minut minuun minä missä mistä mitkä mitä mukaan
+mutta ne niiden niihin niillä niille niiltä niin niissä niistä niitä
+noin nuo nyt näiden näihin näillä näille näiltä näissä näistä näitä
+nämä ole olemme olen olet olette oli olimme olin olisi olisin olisit
+olit olitte olivat olla olleet ollut on ovat se sekä sen siihen siinä
+siitä sille sillä siltä sinua sinulla sinulle sinulta sinun sinussa
+sinusta sinut sinuun sinä sitä tai te tuo tuohon tuolla tuolle tuolta
+tuon tuossa tuosta tuota tähän tälle tällä tältä tämä tämän tässä
+tästä tätä vaan vai vaikka yli
+"""
+
+_HU = """
+a abban ahhoz ahogy ahol aki akik akkor alatt amely amelyek amelyet
+ami amit amolyan amíg annak arra arról az azok azon azt aztán azután
+azzal azért be belül benne csak de e ebben eddig egy egyes egyetlen
+egyik egyre egyéb egész ehhez ekkor el ellen elsõ elég elő előtt
+először emilyen ennek erre ez ezek ezen ezt ezzel ezért fel felé hanem
+hiszen hogy hogyan igen illetve ilyen ilyenkor ismét itt jobban jó jól
+kell kellett keresztül ki kívül között közül legalább legyen lehet
+lehetett lenne lenni lesz lett maga magát majd meg mellett mely melyek
+mert mi mikor milyen minden mindenki mindent mindig mint mintha mit
+mivel miért most már más másik még míg nagy nagyobb nagyon ne nekem
+neki nem nincs néha néhány nélkül olyan ott pedig persze rá saját sem
+semmi sok sokat sokkal szemben szerint szinte számára talán tehát
+teljes tovább továbbá több úgy ugyanis új újabb újra után utána utolsó
+vagy vagyis vagyok valaki valami valamint való van vannak vele vissza
+viszont volna volt voltak voltam voltunk
+"""
+
+_ID = """
+ada adalah adanya adapun agar akan akhirnya aku amat anda antara
+antaranya apa apabila apakah apalagi atau ataupun bagai bagaimana bagi
+bahkan bahwa banyak beberapa begini begitu belum berapa bila bisa
+boleh buat bukan bukanlah cuma dahulu dalam dan dapat dari daripada
+dekat demi demikian dengan depan di dia dini diri dirinya dulu entah
+hal hampir hanya harus hendak hingga ia ialah ini inilah itu itulah
+jangan jika jikalau juga justru kalau kalian kami kamu kapan karena
+ke kemudian kenapa kepada ketika kini kita lagi lah lain lainnya lalu
+lama lebih maka makin malah mampu mana masih masing mau maupun
+melainkan melalui memang mereka merupakan meski meskipun mungkin
+namun nanti oleh pada padahal paling para pasti per pernah pula pun
+saat saja saling sama sambil sampai sana sangat saya sebab sebagai
+sebelum sebelumnya sebuah sedang sedangkan sedikit segala segera
+seharusnya sehingga sejak sekali sekarang sekitar selain selalu
+selama seluruh semacam semakin sementara semua semuanya sendiri
+seolah seorang sepanjang seperti sering serta sesuatu sesudah setelah
+setiap siapa sini suatu sudah supaya tadi tak tanpa tapi telah tentang
+tentu terhadap tersebut tertentu tetapi tiap tiba tidak toh untuk
+walau walaupun yaitu yakni yang
+"""
+
+_NO = """
+alle andre at av bare begge ble bli blir blitt bort bra bruke både da
+de deg dei dem den denne der derfor deres det dette di din disse ditt
+du eller en ene eneste enhver enn er et ett etter folk for fordi fra
+få før først gjorde gjøre god gå ha hadde han hans har henne hennes
+her hun hva hvem hver hvilke hvilken hvis hvor hvordan hvorfor i ikke
+ingen inn innen ja jeg kan kom kun kunne lage lang lik like man mange
+me med meg meget mellom men mens mer mest mi min mine mitt mot mye må
+måte ned nei noe noen ny nå når og også om opp oss over på rett
+riktig samme seg selv si siden sin sine sist sitt skal skulle slik
+slutt som start stille så sånn tid til tilbake under ut uten var ved
+verdi vi vil ville vite vår være vært å
+"""
+
+_PL = """
+a aby ach albo ale ani aż bardziej bardzo bez bo bowiem by byli bym
+być był była było były będzie będą cali cała cały ci cię ciebie co
+cokolwiek coś czasami czasem czemu czy czyli daleko dla dlaczego
+dlatego do dobrze dokąd dość dużo dwa dwie dziś dzisiaj gdy gdyby
+gdyż gdzie gdzieś go i ich ile im inna inne inny innych iż ja jak
+jakaś jakby jaki jakie jakiś jakkolwiek jako je jeden jedna jedno
+jednak jego jej jemu jest jestem jeszcze jeśli jeżeli już ją każdy
+kiedy kilka kto ktoś która które którego której który których którym
+którzy ku lat lecz lub ma mają mam mi mimo między mną mnie mogą moi
+moim moja moje może można mój mu musi my na nad nam nami nas nasi
+nasz nasza nasze natomiast nawet nią nic nich nie niech niego niej
+niemu nigdy nim nimi niż no o obok od około on ona one oni ono oraz
+oto pan pana pani po pod podczas pomimo ponad ponieważ powinien
+powinna powinni powinno poza prawie przecież przed przede przez przy
+roku również sam sama są się skąd sobie sobą sposób swoje ta tak taka
+taki takie także tam te tego tej ten teraz też to tobą tobie trzeba
+tu tutaj twoi twoja twoje twój ty tych tylko tym u w wam wami was
+wasz wasza wasze we według wiele wielu więc więcej wszyscy wszystkich
+wszystkie wszystkim wszystko wtedy wy właśnie z za zawsze ze znowu
+znów został żaden żadna żadne że żeby
+"""
+
+_RU = """
+а без более больше будет будто бы был была были было быть в вам вас
+вдруг ведь во вот впрочем все всегда всего всех всю вы где говорил
+да даже два для до другой его ее ей ему если есть еще же за зачем
+здесь и из или им иногда их к кажется как какая какой когда конечно
+которого которые кто куда ли лучше между меня мне много может можно
+мой моя мы на над надо наконец нас не него нее ней нельзя нет ни
+нибудь никогда ним них ничего но ну о об один он она они оно опять
+от перед по под после потом потому почти при про раз разве с сам
+свое свою себе себя сегодня сейчас сказал сказала сказать со совсем
+так такой там тебя тем теперь то тогда того тоже только том тот три
+тут ты у уж уже хорошо хоть чего чем через что чтоб чтобы чуть эти
+этого этой этом этот эту я
+"""
+
 STOPWORDS: dict[str, frozenset[str]] = {
     lang: frozenset(words.split())
     for lang, words in (
         ("en", _EN), ("de", _DE), ("es", _ES), ("fr", _FR),
         ("it", _IT), ("pt", _PT), ("nl", _NL), ("sv", _SV),
+        ("da", _DA), ("fi", _FI), ("hu", _HU), ("id", _ID),
+        ("nb", _NO), ("no", _NO), ("pl", _PL), ("ru", _RU),
     )
 }
 

@@ -103,3 +103,99 @@ def test_german_page_uses_de_table():
     assert r["status"] == "ok"
     assert r["lang"] == "de"
     assert r["cleaned_text"] == "\n\n".join([sib, p1, p2, p3])
+
+
+def _with_head_extra(extra: str, lang="en", title="The quick brown fox story"):
+    return _page(lang=lang, title=title).replace(
+        "</head>", extra + "\n</head>")
+
+
+def test_og_title_wins_over_title_tag():
+    # boilerplate <title>, real og:title (SURVEY.md A4)
+    html = _page(title="untitled page").replace(
+        "</head>",
+        '<meta property="og:title" content="The real fox headline">\n</head>')
+    r = extract_one(html.encode(), "en", "https://x.example/1")
+    assert r["title"] == "The real fox headline"
+    # without og:title the <title> (longest splitter segment) is used
+    r2 = extract_one(_page().encode(), "en", "https://x.example/1")
+    assert r2["title"] == "The quick brown fox story"
+
+
+def test_publish_date_meta_priority_and_time_fallback():
+    html = _with_head_extra(
+        '<meta property="article:published_time" content="2024-03-01T09:30:00+00:00">'
+        '<meta name="date" content="2020-01-01">')
+    r = extract_one(html.encode(), "en", "https://x.example/1")
+    assert r["publish_date"] == "2024-03-01T09:30:00+00:00"
+    # name=date alone
+    html2 = _with_head_extra('<meta name="date" content="2020-01-01">')
+    assert extract_one(html2.encode(), "en", "https://x")["publish_date"] == "2020-01-01"
+    # <time datetime> fallback inside the body
+    html3 = _page().replace(
+        "<div class=\"prelude\">",
+        '<time datetime="2019-07-04T12:00:00Z">July 4</time><div class="prelude">')
+    assert extract_one(html3.encode(), "en", "https://x")["publish_date"] == "2019-07-04T12:00:00Z"
+    # absent → None
+    assert extract_one(_page().encode(), "en", "https://x")["publish_date"] is None
+
+
+def test_movies_extraction():
+    html = _page().replace(
+        "</body>",
+        '<iframe src="https://www.youtube.com/embed/abc123"></iframe>'
+        '<iframe src="https://example.com/not-a-video"></iframe>'
+        '<embed src="https://player.vimeo.com/video/99"></embed></body>')
+    r = extract_one(html.encode(), "en", "https://x.example/1")
+    assert r["movies"] == ["https://www.youtube.com/embed/abc123",
+                          "https://player.vimeo.com/video/99"]
+    assert extract_one(_page().encode(), "en", "https://x")["movies"] == []
+
+
+def test_lang_fallback_flag():
+    # supported lang column → no fallback
+    assert extract_one(_page().encode(), "en", "https://x")["lang_fallback"] is False
+    # zh column + de meta → fallback (meta path)
+    r = extract_one(_page(lang="de").encode(), "zh", "https://x")
+    assert r["lang"] == "de" and r["lang_fallback"] is True
+    # null column, en meta… html lang="en" resolves via meta path → fallback
+    r2 = extract_one(_page().encode(), None, "https://x")
+    assert r2["lang_fallback"] is True
+
+
+def test_extraction_config_knobs():
+    from gooselite.config import ExtractionConfig
+
+    html = _page(lang="de").replace(
+        "</body>",
+        '<iframe src="https://www.youtube.com/embed/z"></iframe></body>')
+    html = html.replace(
+        "</head>",
+        '<meta property="article:published_time" content="2024-01-01">\n</head>')
+    # target_language forces the table over the lang column (EP3/A21)
+    cfg = ExtractionConfig(target_language="de")
+    r = extract_one(html.encode(), "en", "https://x", config=cfg)
+    assert r["lang"] == "de" and r["lang_fallback"] is False
+    # feature toggles
+    off = ExtractionConfig(enable_publish_date=False, enable_videos=False,
+                           enable_tags=False)
+    r2 = extract_one(html.encode(), "en", "https://x", config=off)
+    assert r2["publish_date"] is None and r2["movies"] == [] and r2["tags"] == []
+    # defaults keep them on
+    r3 = extract_one(html.encode(), "en", "https://x")
+    assert r3["publish_date"] == "2024-01-01" and r3["movies"] == [
+        "https://www.youtube.com/embed/z"]
+
+
+def test_new_language_tables_score():
+    from gooselite.stopwords_data import STOPWORDS
+
+    for code in ("da", "fi", "hu", "id", "nb", "no", "pl", "ru"):
+        assert code in STOPWORDS and len(STOPWORDS[code]) > 80, code
+    # a Russian paragraph built from stopwords + content words extracts
+    ru_stop = sorted(w for w in STOPWORDS["ru"] if w.isalpha())[:8]
+    para = " ".join(ru_stop) + " статья про важные новости дня и событий."
+    html = _page(lang="ru").replace(P1, para)
+    r = extract_one(html.encode(), "ru", "https://x.example/ru/1")
+    assert r["lang"] == "ru"
+    assert r["status"] == "ok"

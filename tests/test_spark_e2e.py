@@ -37,17 +37,28 @@ def test_spark_matches_goldens_byte_identical(extracted_and_expected):
     assert (ok.title == ok.expected_title).all()
     # effective lang matches the golden's effective lang
     assert (merged.lang_x == merged.lang_y).all()
+    # A19 publish date: equal where expected, None where absent
+    pd_eq = merged.publish_date.fillna("∅") == merged.expected_publish_date.fillna("∅")
+    assert pd_eq.all(), merged.loc[~pd_eq, "url"].head().tolist()
+    # A18 movies (arrays → compare as lists)
+    mv_eq = merged.apply(lambda r: list(r.movies) == list(r.expected_movies), axis=1)
+    assert mv_eq.all(), merged.loc[~mv_eq, "url"].head().tolist()
+    # fixtures span every shipped stopword table (≥12 languages)
+    assert merged.lang_x.nunique() >= 12
 
 
 def test_status_and_metrics_reconcile(spark, extracted_and_expected):
     out, exp = extracted_and_expected
     sdf = spark.createDataFrame(out[["partition_id", "bucket", "lang", "status",
-                                     "bytes_in", "parse_ms"]])
+                                     "bytes_in", "parse_ms", "lang_fallback"]])
     m = J.metrics_from_extracted(sdf, "t").toPandas()
     assert m.docs_in.sum() == len(out)
     assert (m.ok + m.parse_failures + m.empty_extractions + m.decode_errors
             + m.timeouts).sum() == len(out)
     assert m.bytes_processed.sum() == out.bytes_in.sum()
+    # A5 lang_fallback metric reconciles with the per-row flag
+    assert m.lang_fallbacks.sum() == int(out.lang_fallback.sum())
+    assert m.lang_fallbacks.sum() > 0  # zh/null-lang fixture rows exist
 
 
 def test_partitioning_invariance(spark, sf0001_fixtures, extracted_and_expected):
