@@ -173,11 +173,15 @@ def main() -> None:
            "gate_normalized": "PASS" if hw_eff and eff / hw_eff >= 0.8 else "FAIL",
            "corpus": {"sf_dir": args.sf_dir, "copies": args.copies,
                       "pages_path": pages_path}}
-    # every session appends to the history; scaling.json keeps the BEST
-    # session (by raw efficiency, same level pair) so a noise-polluted
-    # re-run cannot regress the recorded evidence
+    # every session appends to the history; scaling_latest.json always
+    # holds THIS session (regression checks gate on it — a best-only file
+    # would make a genuine scaling regression invisible); scaling.json
+    # keeps the BEST session (by raw efficiency, same level pair) as
+    # provenance, so a noise-polluted re-run cannot erase the evidence
     with open(os.path.join(REPO, "BENCH", "scaling_history.jsonl"), "a") as f:
         f.write(json.dumps(out) + "\n")
+    with open(os.path.join(REPO, "BENCH", "scaling_latest.json"), "w") as f:
+        json.dump(out, f, indent=2)
     best_path = os.path.join(REPO, "BENCH", "scaling.json")
     keep = True
     if os.path.exists(best_path):

@@ -4,9 +4,18 @@ The north rule is batch (SURVEY.md §2.7), so streaming is a conformance
 demo, not the pipeline: a file-source ``readStream`` with a watermark and
 a tumbling event-time window, drained with ``trigger(availableNow=True)``
 into a memory sink so the result is a plain DataFrame the driver can
-compare against a SQL oracle (date_trunc twin). At cluster scale the same
-plan runs continuously against a directory/Kafka source with late rows
-older than the watermark dropped instead of re-aggregated.
+compare against a SQL oracle (date_trunc twin).
+
+Output-mode note: this demo uses ``complete`` mode so the drained result
+covers EVERY window (matching the all-rows SQL oracle) — in complete
+mode the watermark neither drops late rows nor evicts window state, so
+this exact plan re-emits the full result each trigger and keeps all
+state. A continuous cluster deployment would instead use ``append``
+mode, where the watermark finalizes each window once event time passes
+window.end + watermark and late rows older than that are dropped; the
+last (not-yet-final) window is then withheld until the watermark passes
+it, which is why append mode cannot be compared against the total-count
+oracle in this finite-drain demo.
 """
 
 from __future__ import annotations

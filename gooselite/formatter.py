@@ -79,13 +79,14 @@ def _remove_fewwords_paragraphs(top_node: Node, lang: str | None) -> None:
 
 
 def _convert_to_text(top_node: Node) -> str:
+    # element children only: canonical getText-per-block joins elements
+    # with '\n\n'; bare text nodes between blocks are not emitted
     txts: list[str] = []
     for child in top_node.children:
-        if not child.is_element and child.tag != "#text":
-            continue
-        txt = child.get_text() if child.is_element else inner_trim(child.text or "")
-        if child.is_element and txt:
-            txts.append(txt)
+        if child.is_element:
+            txt = child.get_text()
+            if txt:
+                txts.append(txt)
     return C.PARAGRAPH_JOIN.join(txts)
 
 
