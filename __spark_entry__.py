@@ -90,14 +90,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_fingerprint": T.q_fingerprint,
         "q_minhash_pairs": T.q_minhash_pairs,              # rows-only
         "q_simhash": T.q_simhash,                          # rows-only
+        "q_simhash_pairs": T.q_simhash_pairs,              # rows-only
         "q_lang_id": T.q_lang_id,                          # rows-only
         "q_multimodal_stub": T.q_multimodal_stub,          # rows-only
         "q_ngram_jaccard": T.q_ngram_jaccard,
         # similarity search / embedding ops
         "q_ann_cosine_topk": A.q_ann_cosine_topk,
         "q_ann_lsh_buckets": A.q_ann_lsh_buckets,          # rows-only
+        "q_ann_lsh_probe": A.q_ann_lsh_probe,
         "q_embed_neardup": A.q_embed_neardup,
         "q_ann_ivf": A.q_ann_ivf,
+        "q_ann_ivf_probe": A.q_ann_ivf_probe,
         # streaming (B19): watermark + tumbling window, availableNow drain
         "q_stream_window": _q_stream_window,
     }
@@ -142,6 +145,8 @@ def oracle_sql() -> dict[str, str]:
 
     oracles["q_embed_neardup"] = A.ORACLE_EMBED_NEARDUP
     oracles["q_ann_ivf"] = A.ORACLE_ANN_IVF
+    oracles["q_ann_lsh_probe"] = A.oracle_ann_lsh_probe()
+    oracles["q_ann_ivf_probe"] = A.oracle_ann_ivf_probe()
     oracles["q_stream_window"] = S.ORACLE_STREAM_WINDOW
     try:  # needs a live session to read the query vector parameter
         from goose_spark.ann import oracle_ann_cosine_topk

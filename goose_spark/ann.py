@@ -160,27 +160,248 @@ FROM scored WHERE rn = 1
 """
 
 
+# ---- hyperplane LSH: engine-exact bucketing --------------------------------
+# Bucket bits must be identical in Spark and the DuckDB oracle, so the
+# projection is EXACT integer arithmetic carried in doubles: embeddings
+# quantized via floor(v * 1000) (same double multiply + floor in every
+# IEEE engine) dotted with integer hyperplane components. Products are
+# ≤ 1e3 · 2^31 and 64-term sums stay far below 2^53, so any summation
+# order yields the same integer — the sign (bucket bit) cannot drift.
+QUANT = 1000.0
+
+
+def _plane_int(p: int, j: int) -> int:
+    """Deterministic integer hyperplane component in [-2^31, 2^31)."""
+    return ((p * 1_000_003 + j) * 2654435761 % 2**32) - 2**31
+
+
+def _quantized(emb):
+    return F.transform(emb, lambda x: F.floor(x * F.lit(QUANT)).cast("double"))
+
+
+def _bucket_expr(emb, dim: int, n_planes: int):
+    qv = _quantized(emb)
+    bucket = F.lit(0)
+    for p in range(n_planes):
+        plane = F.array(*[F.lit(float(_plane_int(p, j))) for j in range(dim)])
+        bit = (_dot(qv, plane) > 0).cast("int")
+        bucket = bucket * 2 + bit
+    return bucket
+
+
+def _bucket_of(vec: list[float], n_planes: int) -> int:
+    """Driver-side twin of _bucket_expr (same doubles, same floor)."""
+    import math
+
+    q = [float(math.floor(x * QUANT)) for x in vec]
+    bucket = 0
+    for p in range(n_planes):
+        dot = sum(q[j] * float(_plane_int(p, j)) for j in range(len(q)))
+        bucket = bucket * 2 + (1 if dot > 0 else 0)
+    return bucket
+
+
 def q_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH bucket assignment (rows-only probe): sign pattern of
-    N_PLANES deterministic pseudo-random hyperplanes → bucket id. The
-    scale path for ANN: shuffle once on bucket, probe one bucket per query.
-
-    Hyperplane p component j = hash-derived value in [-1, 1) — fully
-    deterministic, no RNG state (sandbox determinism rule).
-    """
+    N_PLANES deterministic hyperplanes → bucket id. The scale path for
+    ANN: shuffle once on bucket (or partition the table by it), probe one
+    bucket per query — see q_ann_lsh_probe for the probe itself."""
     e = load(spark, sf_dir, "embeddings")
     dim = len(e.select("embedding").first()[0])
     emb = F.col("embedding").cast("array<double>")
+    return e.select("vec_id", "label",
+                    _bucket_expr(emb, dim, N_PLANES).alias("bucket"))
 
-    def plane(p: int):
-        # deterministic pseudo-random component from a hash of (p, j)
-        return F.array(*[
-            F.lit((((p * 1_000_003 + j) * 2654435761 % 2**32) / 2**31) - 1.0)
-            for j in range(dim)
-        ])
 
-    bucket = F.lit(0)
-    for p in range(N_PLANES):
-        bit = (_dot(emb, plane(p)) > 0).cast("int")
-        bucket = bucket * 2 + bit
-    return e.select("vec_id", "label", bucket.alias("bucket"))
+N_PLANES_PROBE = 4  # 16 buckets → ~30 vectors/bucket at sf0.01
+
+
+def q_ann_lsh_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH probe query (the 100 TB read path): top-k cosine ONLY
+    within the query vector's bucket — the scan computes each vector's
+    bucket and keeps the one bucket; at cluster scale the bucket is a
+    precomputed partition column, so this filter becomes partition
+    pruning and the plan reads 1/2^planes of the table.
+
+    Oracle-green: bucketing is exact integer math (see _bucket_expr), so
+    DuckDB reproduces the identical member set; ordering is on the
+    ROUNDED cosine + vec_id in both engines."""
+    q = _query_vector(spark, sf_dir)
+    qbucket = _bucket_of(q, N_PLANES_PROBE)
+    e = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") != QUERY_VEC_ID)
+    emb = F.col("embedding").cast("array<double>")
+    qcol = F.array(*[F.lit(x) for x in q])
+    cos = _dot(emb, qcol) / (_norm(emb) * _norm(qcol))
+    return (
+        e.filter(_bucket_expr(emb, len(q), N_PLANES_PROBE) == qbucket)
+        .select("vec_id", (F.round(cos, 4) + F.lit(0.0)).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(TOP_K)
+    )
+
+
+def _vectors_pyarrow(sf_dir: str):
+    """Oracle-side parameter source: read embeddings without Spark."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"])
+    d = t.to_pydict()
+    by_id = dict(zip(d["vec_id"], d["embedding"]))
+    return [float(x) for x in by_id[QUERY_VEC_ID]]
+
+
+def oracle_ann_lsh_probe(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    """DuckDB twin of q_ann_lsh_probe: recomputes every vector's bucket
+    with the same quantized-integer projection and filters to the query's
+    bucket (computed here driver-side with identical double math)."""
+    q = _vectors_pyarrow(sf_dir)
+    dim = len(q)
+    qbucket = _bucket_of(q, N_PLANES_PROBE)
+    qlit = "[" + ", ".join(repr(x) for x in q) + "]::DOUBLE[]"
+    bits = []
+    for p in range(N_PLANES_PROBE):
+        plane = "[" + ", ".join(str(_plane_int(p, j)) for j in range(dim)) + "]::DOUBLE[]"
+        weight = 2 ** (N_PLANES_PROBE - 1 - p)
+        bits.append(
+            f"(CASE WHEN list_dot_product(list_transform(v, x -> floor(x * {QUANT})),"
+            f" {plane}) > 0 THEN {weight} ELSE 0 END)")
+    bucket_sql = " + ".join(bits)
+    return f"""
+WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+     q AS (SELECT {qlit} AS qv)
+SELECT vec_id,
+       ROUND(list_dot_product(v, qv)
+             / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))),
+             4) + 0.0 AS cosine
+FROM t, q
+WHERE vec_id != {QUERY_VEC_ID} AND ({bucket_sql}) = {qbucket}
+ORDER BY cosine DESC, vec_id LIMIT {TOP_K}
+"""
+
+
+# ---- IVF: one k-means refinement + multi-list probe ------------------------
+NPROBE = 2    # refined inverted lists probed per query
+ROUND_C = 6   # centroid/assignment rounding — absorbs sub-ulp fold-order
+              # differences between Spark partial aggs and DuckDB
+
+
+def q_ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with one k-means refinement iteration and an nprobe=2 list
+    probe — the full coarse-quantization read path:
+
+    1. assign every vector to its nearest seed centroid (broadcast join,
+       argmax over ROUND(cosine, 6) with centroid_id tie-break),
+    2. refine: new centroid = element-wise mean of its assigned vectors
+       (posexplode → per-(centroid, pos) avg → array_sort rebuild; a pure
+       shuffle-once aggregation — the k-means step at 100 TB is exactly
+       this plan repeated),
+    3. probe: rank refined centroids by cosine to the query, keep the
+       top NPROBE lists, brute-force top-k only inside those lists.
+
+    Oracle-green: every comparison happens on values rounded to 6
+    decimals in BOTH engines, so partial-aggregation fold order cannot
+    flip an argmax; final cosines rounded to 4 like the other ANN probes.
+    """
+    from pyspark.sql import Window
+
+    q = _query_vector(spark, sf_dir)
+    qcol = F.array(*[F.lit(x) for x in q])
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    cent = (
+        e.filter(F.col("vec_id") < N_CENTROIDS)
+        .select(F.col("vec_id").alias("centroid_id"), F.col("v").alias("c"))
+    )
+
+    # 1. assignment to seed centroids
+    cos_seed = _dot(F.col("v"), F.col("c")) / (_norm(F.col("v")) * _norm(F.col("c")))
+    scored = e.join(F.broadcast(cent)).select(
+        "vec_id", "v", "centroid_id", F.round(cos_seed, ROUND_C).alias("cos6"))
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos6").desc(), "centroid_id")
+    assign = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("vec_id", "v", "centroid_id")
+    )
+
+    # 2. one k-means refinement: element-wise mean per centroid
+    exploded = assign.select("centroid_id", F.posexplode("v").alias("pos", "val"))
+    means = exploded.groupBy("centroid_id", "pos").agg(
+        F.round(F.avg("val"), ROUND_C).alias("m"))
+    refined = means.groupBy("centroid_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))),
+            lambda s: s["m"],
+        ).alias("c")
+    )
+
+    # 3. probe the NPROBE refined lists nearest to the query
+    cos_q_cent = _dot(F.col("c"), qcol) / (_norm(F.col("c")) * _norm(qcol))
+    wp = Window.orderBy(F.round(cos_q_cent, ROUND_C).desc(), "centroid_id")
+    probed = (
+        refined.withColumn("_pr", F.row_number().over(wp))
+        .filter(F.col("_pr") <= NPROBE)
+        .select("centroid_id")
+    )
+    cand = assign.join(F.broadcast(probed), "centroid_id").filter(
+        F.col("vec_id") != QUERY_VEC_ID)
+    cos_final = _dot(F.col("v"), qcol) / (_norm(F.col("v")) * _norm(qcol))
+    return (
+        cand.select("vec_id",
+                    (F.round(cos_final, 4) + F.lit(0.0)).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(TOP_K)
+    )
+
+
+def oracle_ann_ivf_probe(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    """DuckDB twin of q_ann_ivf_probe (same seed centroids, same one
+    refinement iteration, same ROUND(…, 6) comparisons, same nprobe)."""
+    q = _vectors_pyarrow(sf_dir)
+    dim = len(q)
+    qlit = "[" + ", ".join(repr(x) for x in q) + "]::DOUBLE[]"
+    return f"""
+WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+     q AS (SELECT {qlit} AS qv),
+     c0 AS (SELECT vec_id AS centroid_id, v AS cv FROM t
+            WHERE vec_id < {N_CENTROIDS}),
+     scored AS (
+       SELECT t.vec_id, t.v, c0.centroid_id,
+              ROW_NUMBER() OVER (
+                PARTITION BY t.vec_id
+                ORDER BY ROUND(list_dot_product(t.v, c0.cv)
+                        / (sqrt(list_dot_product(t.v, t.v))
+                           * sqrt(list_dot_product(c0.cv, c0.cv))),
+                        {ROUND_C}) DESC,
+                  c0.centroid_id) AS rn
+       FROM t, c0),
+     assign AS (SELECT vec_id, v, centroid_id FROM scored WHERE rn = 1),
+     perpos AS (
+       SELECT a.centroid_id, r.i, ROUND(AVG(a.v[r.i]), {ROUND_C}) AS m
+       FROM assign a, range(1, {dim + 1}) r(i)
+       GROUP BY a.centroid_id, r.i),
+     refined AS (
+       SELECT centroid_id, list(m ORDER BY i) AS cv
+       FROM perpos GROUP BY centroid_id),
+     probed AS (
+       SELECT centroid_id,
+              ROW_NUMBER() OVER (
+                ORDER BY ROUND(list_dot_product(cv, qv)
+                        / (sqrt(list_dot_product(cv, cv))
+                           * sqrt(list_dot_product(qv, qv))),
+                        {ROUND_C}) DESC,
+                  centroid_id) AS pr
+       FROM refined, q)
+SELECT a.vec_id,
+       ROUND(list_dot_product(a.v, qv)
+             / (sqrt(list_dot_product(a.v, a.v))
+                * sqrt(list_dot_product(qv, qv))), 4) + 0.0 AS cosine
+FROM assign a
+JOIN probed p ON a.centroid_id = p.centroid_id AND p.pr <= {NPROBE}, q
+WHERE a.vec_id != {QUERY_VEC_ID}
+ORDER BY cosine DESC, vec_id LIMIT {TOP_K}
+"""

@@ -303,6 +303,66 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", simhash64("text").alias("simhash"))
 
 
+SIMHASH_BANDS = 4   # 4 × 16-bit bands: hamming ≤ 3 ⇒ ≥ 1 band identical
+HAMMING_MAX = 3     # (pigeonhole) — banding loses NO pair under the gate
+
+
+def simhash_pairs(docs: DataFrame) -> DataFrame:
+    """SimHash near-duplicate pairs at scale: band each 64-bit fingerprint
+    into 4 × 16-bit keys, group by (band_id, band_value), generate pairs
+    INSIDE each band bucket, then verify hamming(sim_a, sim_b) ≤
+    HAMMING_MAX with JVM-side bit_count(xor). By pigeonhole, a pair
+    within the hamming gate shares at least one of the 4 bands, so
+    banding is recall-lossless for the gate.
+
+    Plan shape (the 100 TB discipline): the expensive fingerprint UDF
+    runs in ONE pass (a band self-JOIN would re-evaluate it per side —
+    Spark does not reuse the unaliased subplan); everything after it
+    carries only (doc_id, 8-byte fingerprint, 2-byte band key) through a
+    single groupBy shuffle. Band buckets are collision-sized (16-bit keys
+    only collide for near-identical docs), so per-bucket pair expansion
+    is bounded; a pathologically hot bucket (e.g. millions of empty docs
+    fingerprinting to 0) should be routed to exact dedup first."""
+    simhash64 = pandas_udf(_simhash_kernel, "long")
+    sigs = docs.select("doc_id", simhash64("text").alias("simhash"))
+    bands = sigs.select(
+        F.struct("doc_id", "simhash").alias("m"),
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.shiftrightunsigned(F.col("simhash"), 16 * b)
+                .bitwiseAND(F.lit(0xFFFF)).alias("band_val"),
+            )
+            for b in range(SIMHASH_BANDS)
+        ])).alias("band"),
+    ).select("m", "band.band_id", "band.band_val")
+    buckets = (
+        bands.groupBy("band_id", "band_val")
+        .agg(F.collect_list("m").alias("ms"))
+        .filter(F.size("ms") > 1)
+    )
+    pairs = (
+        buckets.select(F.explode("ms").alias("a"), "ms")
+        .select("a", F.explode("ms").alias("b"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"),
+                F.col("a.simhash").alias("sim_a"), F.col("b.simhash").alias("sim_b"))
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        pairs.withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= HAMMING_MAX)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded SimHash near-dup pairs over documents (rows-only probe;
+    planted-dup recall asserted in pytest)."""
+    return simhash_pairs(load(spark, sf_dir, "documents"))
+
+
 # ------------------------------------------------------------- lang-id -----
 def _lang_id_kernel(texts: pd.Series) -> pd.Series:
     """Stopword-density language ID using the gooselite tables (loaded once

@@ -97,3 +97,51 @@ def test_multimodal_stub_schema(spark):
     rows = df.limit(5).collect()
     assert df.columns == ["doc_id", "n_bytes", "fake_width", "fake_height"]
     assert all(r.n_bytes > 0 for r in rows)
+
+
+def test_simhash_pairs_banding_is_recall_lossless(spark, planted):
+    """4×16-bit banding must find EXACTLY the brute-force pairs with
+    hamming ≤ HAMMING_MAX (pigeonhole: ≤3 differing bits can touch at
+    most 3 of the 4 bands)."""
+    docs = spark.read.parquet(planted + "/documents.parquet")
+    got = {(r.id_a, r.id_b): r.hamming
+           for r in T.simhash_pairs(docs).collect()}
+    sims = {r.doc_id: r.simhash for r in T.q_simhash(spark, planted).collect()}
+
+    def hamming(a, b):
+        return bin((a & 0xFFFFFFFFFFFFFFFF) ^ (b & 0xFFFFFFFFFFFFFFFF)).count("1")
+
+    ids = sorted(sims)
+    brute = {(a, b): hamming(sims[a], sims[b])
+             for i, a in enumerate(ids) for b in ids[i + 1:]
+             if hamming(sims[a], sims[b]) <= T.HAMMING_MAX}
+    assert got == brute
+    assert (1, 2) in got and got[(1, 2)] == 0  # planted exact dup
+    assert all(4 not in p and 5 not in p for p in got)  # unrelated docs
+
+
+def test_ann_lsh_probe_members_and_order(spark):
+    from goose_spark import ann as A
+
+    rows = A.q_ann_lsh_probe(spark, SF).collect()
+    assert 0 < len(rows) <= A.TOP_K
+    cosines = [r.cosine for r in rows]
+    assert cosines == sorted(cosines, reverse=True)
+    # every hit really lives in the query vector's bucket
+    emb = {r.vec_id: list(r.embedding)
+           for r in spark.read.parquet(SF + "/embeddings.parquet").collect()}
+    qb = A._bucket_of([float(x) for x in emb[A.QUERY_VEC_ID]], A.N_PLANES_PROBE)
+    for r in rows:
+        vb = A._bucket_of([float(x) for x in emb[r.vec_id]], A.N_PLANES_PROBE)
+        assert vb == qb, r.vec_id
+
+
+def test_ann_ivf_probe_recall_vs_bruteforce(spark):
+    """nprobe=2 over 8 refined lists must recover a decent share of the
+    true brute-force top-k (and be a subset of the full ranking)."""
+    from goose_spark import ann as A
+
+    probe = [r.vec_id for r in A.q_ann_ivf_probe(spark, SF).collect()]
+    brute = [r.vec_id for r in A.q_ann_cosine_topk(spark, SF).collect()]
+    assert len(probe) == A.TOP_K
+    assert len(set(probe) & set(brute)) >= 3  # recall@10 ≥ 0.3 with nprobe=2/8
