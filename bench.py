@@ -80,16 +80,22 @@ def main() -> None:
     extras["mb_per_sec"] = round((row["bytes_in"] or 0) / 1e6 / timings["q_extract"], 2)
 
     # --- headline relational / text / similarity operators ---
+    # min-of-2 per query: the first run doubles as its warm-up (plan
+    # compile, scan cache); a noisy-window first run no longer defines
+    # the recorded number (q_minhash_pairs measured 8.4s cold / 1.7s warm
+    # in a quiet window, 42s in a noisy one).
     import __spark_entry__ as entry
 
     qs = entry.queries()
     for name in ("q_hash_agg", "q_window_dedupe", "q_equi_join_3way", "q_topk",
                  "q_dedup_exact", "q_token_count", "q_fingerprint",
                  "q_minhash_pairs", "q_simhash", "q_ann_cosine_topk"):
-        t0 = time.perf_counter()
-        n = qs[name](spark, sf_dir).count()
-        timings[name] = time.perf_counter() - t0
-        _ = n
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            qs[name](spark, sf_dir).count()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = best
 
     total = sum(timings.values())
     result = {

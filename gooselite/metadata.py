@@ -16,6 +16,21 @@ from gooselite.text import inner_trim
 
 _MOTLEY_RE = re.compile(r"[«»]")
 
+# Tags the metadata phase reads, gathered in ONE pre-clean tree walk
+# (each getter otherwise issues its own full-document traversal).
+_INDEX_TAGS = ("title", "meta", "link", "time", "a", "iframe", "embed",
+               "object", "html")
+
+
+def metadata_index(root: Node) -> dict[str, list[Node]]:
+    """One-walk bucket of every metadata-relevant element (A4/A5/A16/A18/
+    A19 all read from this instead of re-walking the raw tree)."""
+    return root.get_elements_map(*_INDEX_TAGS)
+
+
+def _nodes(root: Node, idx: dict | None, tag: str) -> list[Node]:
+    return idx[tag] if idx is not None else root.get_elements_by_tag(tag)
+
 
 def _split_title(title_text: str, splitter: str) -> str:
     """Pick the longest (by chars) segment [canon: extractors.py split_title]."""
@@ -27,12 +42,12 @@ def _split_title(title_text: str, splitter: str) -> str:
     return best.strip()
 
 
-def get_title(root: Node) -> str:
+def get_title(root: Node, idx: dict | None = None) -> str:
     """A4: og:title wins over <title>; either way split on the first
     matching splitter and keep the longest segment (SURVEY.md A4)."""
-    title_text = _meta_property(root, "og:title")
+    title_text = _meta_property(root, "og:title", idx)
     if not title_text:
-        els = root.get_elements_by_tag("title")
+        els = _nodes(root, idx, "title")
         if not els:
             return ""
         title_text = els[0].get_text()
@@ -44,42 +59,43 @@ def get_title(root: Node) -> str:
     return inner_trim(_MOTLEY_RE.sub("", title_text))
 
 
-def _meta_property(root: Node, prop_value: str) -> str:
+def _meta_property(root: Node, prop_value: str, idx: dict | None = None) -> str:
     """First <meta property=...> content (og:* family), inner-trimmed."""
     target = prop_value.lower()
-    for meta in root.get_elements_by_tag("meta"):
+    for meta in _nodes(root, idx, "meta"):
         if meta.attrib.get("property", "").lower() == target:
             return inner_trim(meta.attrib.get("content", ""))
     return ""
 
 
-def _meta_content(root: Node, name_attr: str, name_value: str) -> str:
+def _meta_content(root: Node, name_attr: str, name_value: str,
+                  idx: dict | None = None) -> str:
     target = name_value.lower()
-    for meta in root.get_elements_by_tag("meta"):
+    for meta in _nodes(root, idx, "meta"):
         if meta.attrib.get(name_attr, "").lower() == target:
             return inner_trim(meta.attrib.get("content", ""))
     return ""
 
 
-def get_meta_description(root: Node) -> str:
-    return _meta_content(root, "name", "description")
+def get_meta_description(root: Node, idx: dict | None = None) -> str:
+    return _meta_content(root, "name", "description", idx)
 
 
-def get_meta_keywords(root: Node) -> str:
-    return _meta_content(root, "name", "keywords")
+def get_meta_keywords(root: Node, idx: dict | None = None) -> str:
+    return _meta_content(root, "name", "keywords", idx)
 
 
-def get_meta_lang(root: Node) -> str | None:
+def get_meta_lang(root: Node, idx: dict | None = None) -> str | None:
     """A5 fallback chain element: html@lang, else meta http-equiv
     content-language, else og:locale prefix."""
-    for html in root.get_elements_by_tag("html"):
+    for html in _nodes(root, idx, "html"):
         lang = html.attrib.get("lang")
         if lang:
             return lang.strip()[:2].lower()
-    val = _meta_content(root, "http-equiv", "content-language")
+    val = _meta_content(root, "http-equiv", "content-language", idx)
     if val:
         return val.strip()[:2].lower()
-    for meta in root.get_elements_by_tag("meta"):
+    for meta in _nodes(root, idx, "meta"):
         if meta.attrib.get("property", "").lower() == "og:locale":
             content = meta.attrib.get("content", "")
             if content:
@@ -87,8 +103,8 @@ def get_meta_lang(root: Node) -> str | None:
     return None
 
 
-def get_canonical_link(root: Node, url: str) -> str:
-    for link in root.get_elements_by_tag("link"):
+def get_canonical_link(root: Node, url: str, idx: dict | None = None) -> str:
+    for link in _nodes(root, idx, "link"):
         if link.attrib.get("rel", "").lower() == "canonical":
             href = link.attrib.get("href", "").strip()
             if href:
@@ -120,18 +136,21 @@ _PUBLISH_META = (
 )
 
 
-def get_publish_date(root: Node) -> str | None:
+def get_publish_date(root: Node, idx: dict | None = None) -> str | None:
     """A19: publish timestamp as the page states it (no reformatting —
     byte-stable, parseable downstream with to_timestamp). Meta tags in
-    `_PUBLISH_META` priority order, then the first <time datetime=...>."""
+    `_PUBLISH_META` priority order, then the first <time datetime=...>.
+    The meta list is iterated once per priority entry, but over the
+    prebuilt index bucket — no tree walks."""
+    metas = _nodes(root, idx, "meta")
     for attr, value in _PUBLISH_META:
         target = value.lower()
-        for meta in root.get_elements_by_tag("meta"):
+        for meta in metas:
             if meta.attrib.get(attr, "").lower() == target:
                 content = inner_trim(meta.attrib.get("content", ""))
                 if content:
                     return content
-    for t in root.get_elements_by_tag("time"):
+    for t in _nodes(root, idx, "time"):
         dt = inner_trim(t.attrib.get("datetime", ""))
         if dt:
             return dt
@@ -144,14 +163,14 @@ _MOVIE_SRC_RE = re.compile(
     r"|vimeo\.com|dailymotion\.com)", re.IGNORECASE)
 
 
-def get_movies(root: Node) -> list[str]:
+def get_movies(root: Node, idx: dict | None = None) -> list[str]:
     """A18: src urls of <iframe>/<embed>/<object data=...> pointing at a
     known video host; iframes first then embeds then objects, document
     order within each group, duplicates dropped (first wins)."""
     movies: list[str] = []
     seen: set[str] = set()
     for tag, attr in (("iframe", "src"), ("embed", "src"), ("object", "data")):
-        for el in root.get_elements_by_tag(tag):
+        for el in _nodes(root, idx, tag):
             src = el.attrib.get(attr, "").strip()
             if src and src not in seen and _MOVIE_SRC_RE.search(src):
                 seen.add(src)
@@ -162,10 +181,10 @@ def get_movies(root: Node) -> list[str]:
 _TAG_HREF_RE = re.compile(r"/tag[s]?/")
 
 
-def extract_tags(root: Node) -> list[str]:
+def extract_tags(root: Node, idx: dict | None = None) -> list[str]:
     """A16: a[rel=tag] plus hrefs matching /tag/; sorted for determinism."""
     tags: set[str] = set()
-    for a in root.get_elements_by_tag("a"):
+    for a in _nodes(root, idx, "a"):
         rel = a.attrib.get("rel", "").lower()
         href = a.attrib.get("href", "")
         if "tag" == rel or _TAG_HREF_RE.search(href):

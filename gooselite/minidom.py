@@ -44,7 +44,7 @@ class Node:
     comment nodes carry ``text`` and have tag ``#text`` / ``#comment``."""
 
     __slots__ = ("tag", "attrib", "children", "parent", "text", "score",
-                 "gravity_nodes", "is_element")
+                 "gravity_nodes", "is_element", "swc")
 
     def __init__(self, tag: str, attrib: dict[str, str] | None = None, text: str | None = None):
         self.tag = tag
@@ -54,6 +54,10 @@ class Node:
         self.text = text
         self.score: float | None = None   # gravityScore annotation (A11)
         self.gravity_nodes: int = 0
+        # stopword-count cache (scoring A8): valid while the node's own
+        # subtree text is unchanged — scoring/sibling phases never mutate
+        # a counted paragraph's text, only detach/attach whole blocks
+        self.swc: int | None = None
         # precomputed: the profiler showed a property here costs ~13% of
         # total extraction time (6M+ calls/150 docs). Node kind never
         # changes (div→p stays an element), so a plain slot is safe.
@@ -173,6 +177,23 @@ class Node:
         for t in tags:
             merged.extend(buckets[t])
         return merged
+
+    def get_elements_map(self, *tags: str) -> dict[str, list["Node"]]:
+        """Descendants matching each tag as {tag: [nodes in document
+        order]}, collected in ONE walk — the metadata phase issues ~20
+        full-tree ``get_elements_by_tag`` calls per document otherwise
+        (title/meta/link/a/iframe/… each walking the raw pre-clean tree)."""
+        buckets: dict[str, list[Node]] = {t: [] for t in tags}
+        stack = list(reversed(self.children))
+        pop, push = stack.pop, stack.extend
+        while stack:
+            node = pop()
+            b = buckets.get(node.tag)
+            if b is not None:
+                b.append(node)
+            if node.children:
+                push(reversed(node.children))
+        return buckets
 
     def previous_siblings(self) -> list["Node"]:
         """Element siblings before self, nearest first (reverse document

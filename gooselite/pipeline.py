@@ -29,6 +29,7 @@ from gooselite.metadata import (
     get_movies,
     get_publish_date,
     get_title,
+    metadata_index,
 )
 from gooselite.minidom import ParseError, dispose, parse_html
 from gooselite.scoring import calculate_best_node, post_cleanup
@@ -110,15 +111,19 @@ def extract_one(html: bytes | None, lang: str | None, url: str,
 
 def _extract_parsed(root, lang: str | None, url: str, bytes_in: int,
                     t0: float, config: ExtractionConfig) -> dict[str, Any]:
-    # metadata BEFORE cleaning (cleaner strips <meta>-adjacent structure)
-    title = get_title(root)
-    meta_description = get_meta_description(root)
-    meta_keywords = get_meta_keywords(root)
-    meta_lang = get_meta_lang(root)
-    canonical_link = get_canonical_link(root, url)
-    tags = extract_tags(root) if config.enable_tags else []
-    movies = get_movies(root) if config.enable_videos else []
-    publish_date = get_publish_date(root) if config.enable_publish_date else None
+    # metadata BEFORE cleaning (cleaner strips <meta>-adjacent structure);
+    # all getters read from ONE tree walk (metadata_index) — ~20 separate
+    # full-document traversals otherwise, ~11% of extraction time
+    idx = metadata_index(root)
+    title = get_title(root, idx)
+    meta_description = get_meta_description(root, idx)
+    meta_keywords = get_meta_keywords(root, idx)
+    meta_lang = get_meta_lang(root, idx)
+    canonical_link = get_canonical_link(root, url, idx)
+    tags = extract_tags(root, idx) if config.enable_tags else []
+    movies = get_movies(root, idx) if config.enable_videos else []
+    publish_date = (get_publish_date(root, idx)
+                    if config.enable_publish_date else None)
 
     # A5: primary lang (target_language or lang column), meta-lang
     # fallback, then 'en'; lang_fallback records any non-primary path

@@ -63,8 +63,8 @@ def is_boostable(node: Node, lang: str | None) -> bool:
     return False
 
 
-def _precompute_boostable(candidates: list[Node], lang: str | None,
-                          stats_cache: dict[int, int]) -> dict[int, bool]:
+def _precompute_boostable(candidates: list[Node],
+                          lang: str | None) -> dict[int, bool]:
     """One pass per parent: for each candidate, whether any of its nearest
     BOOST_SIBLING_REACH previous <p> siblings has stopword_count >
     BOOST_MIN_STOPWORDS (same decision as :func:`is_boostable`)."""
@@ -84,10 +84,10 @@ def _precompute_boostable(candidates: list[Node], lang: str | None,
             if id(child) in wanted:
                 out[id(child)] = any(recent_p_flags[-reach:])
             if child.is_element and child.tag == "p":
-                cnt = stats_cache.get(id(child))
+                cnt = child.swc
                 if cnt is None:
                     cnt = stopword_count_fast(child.raw_text(), lang)
-                    stats_cache[id(child)] = cnt
+                    child.swc = cnt
                 recent_p_flags.append(cnt > C.BOOST_MIN_STOPWORDS)
     return out
 
@@ -97,15 +97,17 @@ def calculate_best_node(root: Node, lang: str | None) -> Node | None:
     grandparents, return argmax parent (first-in-document-order tie-break)."""
     candidates = root.get_elements_by_tag(*C.CANDIDATE_TAGS)
 
-    stats_cache: dict[int, int] = {}
+    # stopword counts cached ON the node (Node.swc): the sibling-baseline
+    # pass (A13) re-reads the same paragraphs and nothing between here and
+    # there mutates a counted paragraph's text
     nodes_with_text: list[Node] = []
     for node in candidates:
         cnt = stopword_count_fast(node.raw_text(), lang)
-        stats_cache[id(node)] = cnt
+        node.swc = cnt
         if cnt > C.CANDIDATE_MIN_STOPWORDS and not is_highlink_density(node, lang):
             nodes_with_text.append(node)
 
-    boostable = _precompute_boostable(nodes_with_text, lang, stats_cache)
+    boostable = _precompute_boostable(nodes_with_text, lang)
 
     nodes_number = len(nodes_with_text)
     negative_scoring = 0.0
@@ -127,7 +129,7 @@ def calculate_best_node(root: Node, lang: str | None) -> Node | None:
                 if negscore > C.NEGATIVE_SCORING_CLAMP_TOTAL:
                     boost_score = float(C.NEGATIVE_SCORING_CLAMP_VALUE)
 
-        upscore = int(stats_cache[id(node)] + boost_score)
+        upscore = int(node.swc + boost_score)
 
         parent = node.parent
         if parent is None:
@@ -163,7 +165,10 @@ def _get_siblings_baseline_score(top_node: Node, lang: str | None) -> float:
     paragraphs_number = 0
     paragraphs_score = 0.0
     for node in top_node.get_elements_by_tag("p"):
-        cnt = stopword_count_fast(node.raw_text(), lang)
+        cnt = node.swc
+        if cnt is None:
+            cnt = stopword_count_fast(node.raw_text(), lang)
+            node.swc = cnt
         if cnt > C.CANDIDATE_MIN_STOPWORDS and not is_highlink_density(node, lang):
             paragraphs_number += 1
             paragraphs_score += cnt
