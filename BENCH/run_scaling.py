@@ -108,8 +108,12 @@ def measure_hw_ceiling(levels: list[int], total: int = 1_600_000_000) -> dict:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
-    ap.add_argument("--copies", type=int, default=4,
-                    help="fixture corpus multiplier so per-core work >> largest doc")
+    ap.add_argument("--copies", type=int, default=1,
+                    help="fixture corpus multiplier. KEEP RUNS SHORT (≤40s): "
+                         "this host's load governor punishes sustained wide "
+                         "load — measured copies=4 (120-175s runs) collapses "
+                         "local[16] from ~400 to ~165 docs/s while local[4] "
+                         "is unaffected (scaling_history.jsonl session 4)")
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--levels", default="8,32")
     ap.add_argument("--cooldown", type=int, default=0,

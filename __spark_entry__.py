@@ -8,8 +8,11 @@ value-hash → CORRECTNESS_r{N}.json).
 Probe inventory ↔ SURVEY.md §2.6 Part B + the training-data operators
 (dedup / similarity / text analysis). Rows-only probes (no oracle entry):
 q_udf_extract (B17), q_approx_distinct (B9), q_minhash_pairs, q_simhash,
-q_lang_id, q_multimodal_stub, q_ann_lsh_buckets — non-SQL-expressible by
-nature; each has a pytest asserting semantics instead.
+q_simhash_pairs, q_lang_id, q_multimodal_stub, q_ann_lsh_buckets —
+non-SQL-expressible by nature; each has a pytest asserting semantics
+instead. The ANN scale-path probes (q_ann_lsh_probe, q_ann_ivf_probe)
+ARE oracle-backed: their bucketing/argmax math is engineered to be
+engine-exact (goose_spark/ann.py).
 """
 
 from __future__ import annotations
@@ -51,6 +54,18 @@ def _q_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     from goose_spark.streaming import stream_window_counts
 
     return stream_window_counts(spark, sf_dir)
+
+
+def _q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from goose_spark.streaming import stream_session_counts
+
+    return stream_session_counts(spark, sf_dir)
+
+
+def _q_stateful_running_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from goose_spark.streaming import q_stateful_running_max
+
+    return q_stateful_running_max(spark, sf_dir)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -103,6 +118,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ann_ivf_probe": A.q_ann_ivf_probe,
         # streaming (B19): watermark + tumbling window, availableNow drain
         "q_stream_window": _q_stream_window,
+        # gap-based session windows (oracle: gaps-and-islands rewrite)
+        "q_stream_sessions": _q_stream_sessions,
+        # custom stateful operator via applyInPandasWithState (rows-only)
+        "q_stateful_running_max": _q_stateful_running_max,
     }
 
 
@@ -148,6 +167,7 @@ def oracle_sql() -> dict[str, str]:
     oracles["q_ann_lsh_probe"] = A.oracle_ann_lsh_probe()
     oracles["q_ann_ivf_probe"] = A.oracle_ann_ivf_probe()
     oracles["q_stream_window"] = S.ORACLE_STREAM_WINDOW
+    oracles["q_stream_sessions"] = S.ORACLE_STREAM_SESSIONS
     try:  # needs a live session to read the query vector parameter
         from goose_spark.ann import oracle_ann_cosine_topk
 

@@ -106,3 +106,144 @@ SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
 FROM events
 GROUP BY 1, 2
 """
+
+
+# ---- session windows (gap-based) -------------------------------------------
+SESSION_GAP = "30 minutes"
+_GAP_SECONDS = 1800
+
+
+def stream_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user gap-based sessionization with the built-in
+    ``session_window`` (dynamic, event-time, merges on overlap): a session
+    extends while consecutive events are within SESSION_GAP; the window
+    end is last_event + gap. Drained via availableNow into a memory sink
+    (complete mode — see the module docstring for the append-mode
+    trade-off). Oracle: the classic gaps-and-islands rewrite — a session
+    break is LAG(ts) more than SESSION_GAP behind — which DuckDB can run;
+    this makes the streaming session operator fully hash-checkable.
+    """
+    tz_before = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        return _stream_session_counts_utc(spark, sf_dir)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz_before)
+
+
+def _stream_session_counts_utc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    src = (
+        spark.readStream.schema(batch_schema)
+        .parquet(_stream_dir(sf_dir))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    agg = (
+        src.withWatermark("ts", WATERMARK)
+        .groupBy(F.session_window("ts", SESSION_GAP).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            # + 0.0 folds IEEE -0.0 from round() to +0.0 (oracle parity)
+            (F.round(F.sum("value"), 4) + F.lit(0.0)).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            # fixed 6-digit microseconds: bare casts trim trailing zeros
+            # differently across engines
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .alias("session_start"),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .alias("session_end"),
+            "n_events", "sum_value",
+        )
+    )
+    sink = f"stream_sess_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory").queryName(sink)
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    out = spark.table(sink).localCheckpoint()
+    spark.catalog.dropTempView(sink)
+    return out
+
+
+def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stream_session_counts(spark, sf_dir)
+
+
+# Gaps-and-islands twin: a session starts where the previous event of the
+# same user is AT LEAST the gap away (Spark merges session windows only
+# on strict overlap — an event exactly gap-distant begins a new session);
+# session end = last event + gap.
+ORACLE_STREAM_SESSIONS = f"""
+WITH marked AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   >= INTERVAL {_GAP_SECONDS} SECOND
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS is_start
+  FROM events),
+ sessions AS (
+  SELECT user_id, ts, value,
+         SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked)
+SELECT user_id,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+       strftime(MAX(ts) + INTERVAL {_GAP_SECONDS} SECOND,
+                '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 4) + 0.0 AS sum_value
+FROM sessions
+GROUP BY user_id, session_id
+"""
+
+
+# ---- custom stateful operator: applyInPandasWithState ----------------------
+def q_stateful_running_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (rows-only probe): per-user
+    running event-count and max value maintained in GroupState via
+    ``applyInPandasWithState`` — the escape hatch for stateful semantics
+    the built-in windows can't express (SURVEY.md task brief: custom
+    stateful operators). Emits one row per user per micro-batch with the
+    state after that batch; with availableNow over a static directory
+    there is exactly one batch, so the result is the per-user total.
+    State is GroupStateTimeout-free (bounded key space here; a real
+    deployment sets a timeout to evict idle users)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    src = (
+        spark.readStream.schema(batch_schema)
+        .parquet(_stream_dir(sf_dir))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .select("user_id", "value")
+    )
+
+    def update(key, pdfs, state: GroupState):
+        n, vmax = state.get if state.exists else (0, float("-inf"))
+        for pdf in pdfs:
+            n += len(pdf)
+            if len(pdf):
+                vmax = max(vmax, float(pdf["value"].max()))
+        state.update((n, vmax))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n],
+                            "max_value": [vmax]})
+
+    out_schema = "user_id bigint, n_events bigint, max_value double"
+    state_schema = "n bigint, vmax double"
+    stateful = src.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "append",
+        GroupStateTimeout.NoTimeout)
+
+    sink = f"stream_state_{uuid.uuid4().hex[:8]}"
+    q = (
+        stateful.writeStream.format("memory").queryName(sink)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    out = spark.table(sink).localCheckpoint()
+    spark.catalog.dropTempView(sink)
+    return out
