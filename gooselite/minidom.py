@@ -21,7 +21,7 @@ from __future__ import annotations
 from html.parser import HTMLParser
 from types import MappingProxyType
 
-from gooselite.constants import P_CLOSING_TAGS, VOID_ELEMENTS
+from gooselite.constants import P_CLOSING_TAGS, RAW_TEXT_TAGS, VOID_ELEMENTS
 from gooselite.text import inner_trim
 
 # Shared read-only attrib for the (majority) attribute-less nodes: one
@@ -360,6 +360,13 @@ class _TreeBuilder(HTMLParser):
 
     def handle_data(self, data: str) -> None:
         if data:
+            # script/style content is never consulted: the cleaner (A6)
+            # drops those subtrees before any text is read, and no
+            # metadata getter looks inside them — skipping the text node
+            # at parse time avoids allocating/copying the (often large)
+            # JS/CSS payload of real-world pages entirely
+            if self.stack[-1].tag in RAW_TEXT_TAGS:
+                return
             self._top().append(new_text(data))
 
     def handle_comment(self, data: str) -> None:

@@ -38,9 +38,15 @@ def test_implied_li_td_close():
 
 
 def test_script_style_raw_text():
+    # raw-text mode: script content must not be parsed as markup, and it
+    # is deliberately NOT materialized as text nodes (the cleaner drops
+    # script/style subtrees before any text is read — skipping at parse
+    # time avoids copying the JS/CSS payload of real pages at all)
     root = parse_html("<script>if (a < b) { x(); }</script><p>t</p>")
     scripts = root.get_elements_by_tag("script")
-    assert "a < b" in " ".join(scripts[0].itertext())
+    assert len(scripts) == 1
+    assert scripts[0].itertext() == []          # content skipped, not parsed
+    assert root.get_elements_by_tag("b") == []  # "a < b" never became a tag
     assert root.get_elements_by_tag("p")[0].get_text() == "t"
 
 
