@@ -109,6 +109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lang_id": T.q_lang_id,                          # rows-only
         "q_multimodal_stub": T.q_multimodal_stub,          # rows-only
         "q_ngram_jaccard": T.q_ngram_jaccard,
+        "q_url_normalize": T.q_url_normalize,
         # similarity search / embedding ops
         "q_ann_cosine_topk": A.q_ann_cosine_topk,
         "q_ann_lsh_buckets": A.q_ann_lsh_buckets,          # rows-only
@@ -158,6 +159,7 @@ def oracle_sql() -> dict[str, str]:
         "q_quality_score": T.ORACLE_QUALITY_SCORE,
         "q_fingerprint": T.ORACLE_FINGERPRINT,
         "q_ngram_jaccard": T.ORACLE_NGRAM_JACCARD,
+        "q_url_normalize": T.ORACLE_URL_NORMALIZE,
     }
     from goose_spark import ann as A
     from goose_spark import streaming as S

@@ -426,3 +426,77 @@ def q_multimodal_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInPandas(
         decode_batches,
         schema="doc_id long, n_bytes long, fake_width int, fake_height int")
+
+
+# ------------------------------------------------------ url normalization --
+# Canonicalizing urls before dedup/checkpointing is a first-class
+# CC-pipeline operator: casing, default ports, tracking params, and
+# fragments otherwise explode the url keyspace. The normalization chain
+# is shared between the Spark plan and the DuckDB oracle as one spec —
+# only the backreference syntax differs ($1 vs \1).
+#
+# steps (applied after lowercasing the scheme://host[:port] prefix):
+# strip #fragment → strip default :443/:80 → drop utm_*/fbclid/gclid
+# params → repair the leading '&' left when the first param was dropped
+# → strip a trailing '?'.
+_URL_STEPS = (
+    (r"#.*$", "", ""),
+    (r"^(https://[^/:]+):443", "$1", r"\1"),
+    (r"^(http://[^/:]+):80", "$1", r"\1"),
+    (r"[?&](utm_[^=&#]*|fbclid|gclid)=[^&#]*", "", ""),
+    (r"^([^?]+)&", "$1?", r"\1?"),
+    (r"\?$", "", ""),
+)
+
+# deterministic messy url synthesized from orders (the driver testdata
+# carries no url column); identical expression in both engines modulo
+# the string type name ({S}: STRING in Spark, VARCHAR in DuckDB)
+_URL_SYNTH_T = (
+    "concat('HTTPS://WWW.Site', CAST(o_custkey % 50 AS {S}),"
+    " '.Example:443/Art/', CAST(o_orderkey AS {S}),"
+    " CASE WHEN o_orderkey % 3 = 0"
+    "      THEN '?utm_source=feed&id=7&utm_medium=x'"
+    "      WHEN o_orderkey % 3 = 1 THEN '?id=7&fbclid=abc123#frag'"
+    "      ELSE '/#top' END)"
+)
+
+
+def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization over synthesized messy urls (orders-keyed):
+    pure regexp_replace chain, whole-stage codegen, no UDFs."""
+    o = load(spark, sf_dir, "orders")
+    u = F.expr(_URL_SYNTH_T.format(S="STRING"))
+    raw = u
+    # lowercase the scheme://host[:port] prefix, keep the rest
+    u = F.concat(
+        F.lower(F.regexp_extract(u, r"^[^/]*//[^/]*", 0)),
+        F.regexp_replace(u, r"^[^/]*//[^/]*", ""),
+    )
+    for pat, spark_repl, _ in _URL_STEPS:
+        u = F.regexp_replace(u, pat, spark_repl)
+    return o.select(
+        F.col("o_orderkey").alias("okey"),
+        raw.alias("url_raw"),
+        u.alias("url_norm"),
+    )
+
+
+def _oracle_url_chain() -> str:
+    expr = _URL_SYNTH_T.format(S="VARCHAR")
+    expr = (f"concat(lower(regexp_extract({expr}, '^[^/]*//[^/]*')),"
+            f" regexp_replace({expr}, '^[^/]*//[^/]*', '', 'g'))")
+    out = expr
+    # DuckDB standard string literals do NOT process backslash escapes:
+    # only single quotes need doubling; patterns/backrefs go in verbatim
+    for pat, _, duck_repl in _URL_STEPS:
+        pat_sql = pat.replace("'", "''")
+        out = f"regexp_replace({out}, '{pat_sql}', '{duck_repl}', 'g')"
+    return out
+
+
+ORACLE_URL_NORMALIZE = f"""
+SELECT o_orderkey AS okey,
+       {_URL_SYNTH_T.format(S='VARCHAR')} AS url_raw,
+       {_oracle_url_chain()} AS url_norm
+FROM orders
+"""
