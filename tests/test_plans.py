@@ -71,3 +71,42 @@ def test_whole_stage_codegen_in_scan_filter(spark):
     plan = _plan(Q.q_scan_filter_project(spark, SF))
     tree = plan.split("\n\n")[0]
     assert "* Filter" in tree and "* Project" in tree
+
+
+def test_simhash_pairs_single_udf_pass(spark):
+    """The fingerprint UDF must run in ONE pass (a band self-join would
+    re-evaluate it per side); pair generation is in-bucket, JVM-side."""
+    from goose_spark import textops as T
+
+    plan = _plan(T.q_simhash_pairs(spark, SF))
+    tree = plan.split("\n\n")[0]
+    assert tree.count("ArrowEvalPython") == 1
+    assert "BatchEvalPython" not in plan
+
+
+def test_ann_lsh_probe_is_pure_expressions(spark):
+    """Bucket filter + cosine top-k: no Python at all, top-k as
+    TakeOrderedAndProject (no global sort materialization)."""
+    from goose_spark import ann as A
+
+    plan = _plan(A.q_ann_lsh_probe(spark, SF))
+    assert "EvalPython" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_ann_ivf_probe_broadcasts_centroids(spark):
+    from goose_spark import ann as A
+
+    plan = _plan(A.q_ann_ivf_probe(spark, SF))
+    assert "EvalPython" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_url_normalize_codegen(spark):
+    from goose_spark import textops as T
+
+    plan = _plan(T.q_url_normalize(spark, SF))
+    tree = plan.split("\n\n")[0]
+    assert "EvalPython" not in plan
+    assert "* Project" in tree  # regex chain rides whole-stage codegen
+    assert "Exchange" not in tree  # embarrassingly parallel: zero shuffles
