@@ -30,7 +30,6 @@ from __future__ import annotations
 
 import os
 
-from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -198,15 +197,16 @@ def run_job_df(spark: SparkSession, pages: DataFrame, out_dir: str,
     Write order is the exactly-once-ish contract: EXTRACTED first, then
     METRICS, then the checkpoint rows for the urls just completed.
 
-    Everything after the extraction derives from **this batch only** —
-    the batch DF is persisted (populated as a side effect of the durable
-    write), and metrics / checkpoint / row count are computed from the
-    cache. The job never re-reads the output directory: a resumed or
-    incremental run is O(batch), not O(total history), and each run's
-    METRICS rows count only the documents that run actually processed
-    (per-run lineage, BASELINE.json:6). On an Iceberg cluster the same
-    batch-scoping falls out of reading the write's snapshot
-    incrementally; locally the persisted DF is the snapshot.
+    Everything after the extraction derives from **this batch only**:
+    the UDF runs exactly once (for the durable write), and metrics /
+    checkpoint / row count come from a column-pruned re-read of the
+    files THAT WRITE created (driver-side before/after listing — the
+    local stand-in for reading an Iceberg write's own snapshot). The job
+    never re-reads prior history, never caches the fat text columns
+    (persisting the full output was measured 4× slower than the bare
+    extraction — columnar cache compression of the article text), and a
+    resumed run is O(batch): each run's METRICS rows count only the
+    documents that run processed (per-run lineage, BASELINE.json:6).
     """
     configure_session(spark)
     extracted_path = os.path.join(out_dir, "extracted")
@@ -218,39 +218,58 @@ def run_job_df(spark: SparkSession, pages: DataFrame, out_dir: str,
         checkpoint = spark.read.parquet(ckpt_path)
 
     todo = prepare(pages, checkpoint, run_id)
-    batch = extract(todo, partitions).persist(StorageLevel.MEMORY_AND_DISK)
-    try:
-        # B20: partitioned append; partition by size bucket (dt at real
-        # scale). This action also populates the persisted batch.
-        # Cluster by the partition column first: dynamic partition writes
-        # emit one file per (task × partition-value), and the salt spreads
-        # every bucket across every task — tasks × buckets files (measured
-        # 3455 files for 5000 docs; linear in task count, so 100× scale
-        # means hundreds of thousands of files per run). The repartition
-        # shuffles only the (small) extracted output, after the expensive
-        # UDF stage, and lands each bucket in one partition → one file.
-        # On Iceberg the writer's target-file-size + fanout handles this.
-        (batch.repartition(F.col("bucket"))
-         .write.mode("append").partitionBy("bucket").parquet(extracted_path))
 
-        metrics_from_extracted(batch, run_id).write.mode("append").parquet(metrics_path)
-        n = batch.count()  # from the cache, before the ckpt append below
+    # B20: partitioned append; partition by size bucket (dt at real
+    # scale). Cluster by the partition column first: dynamic partition
+    # writes emit one file per (task × partition-value), and the salt
+    # spreads every bucket across every task — tasks × buckets files
+    # (measured 3455 files for 5000 docs; linear in task count → 100×
+    # scale means hundreds of thousands of files per run). The
+    # repartition shuffles only the (small) extracted output, after the
+    # expensive UDF stage, and lands each bucket in one file. On Iceberg
+    # the writer's target-file-size + fanout handles this instead.
+    before = _parquet_files(extracted_path)
+    (extract(todo, partitions).repartition(F.col("bucket"))
+     .write.mode("append").partitionBy("bucket").parquet(extracted_path))
+    new_files = sorted(_parquet_files(extracted_path) - before)
 
-        # B21: checkpoint APPEND (not rewrite) strictly AFTER the durable
-        # extracted write — only the urls this batch completed. NOTHING
-        # may read `batch` after this append: the batch plan anti-joins
-        # against ckpt_path, so appending there invalidates the cache
-        # (recacheByPath) and any later access would recompute against
-        # the updated checkpoint (observed: count()==0).
-        (
-            batch.select("url").distinct()
-            .withColumn("run_id", F.lit(run_id))
-            .withColumn("completed_ts", F.current_timestamp())
-            .select("run_id", "url", "completed_ts")
-            .write.mode("append").parquet(ckpt_path)
-        )
-    finally:
-        batch.unpersist()
+    # This batch's rows, via the new files only — a column-pruned scan
+    # (the fat cleaned_text column is never read back); basePath keeps
+    # the bucket partition column.
+    batch = (
+        spark.read.option("basePath", extracted_path).parquet(*new_files)
+        .select("url", "lang", "status", "bytes_in", "parse_ms",
+                "partition_id", "bucket", "lang_fallback")
+    ) if new_files else spark.createDataFrame([], EXTRACTED).select(
+        "url", "lang", "status", "bytes_in", "parse_ms",
+        "partition_id", "bucket", "lang_fallback")
+
+    metrics_from_extracted(batch, run_id).write.mode("append").parquet(metrics_path)
+    n = batch.count()
+
+    # B21: checkpoint APPEND (not rewrite) strictly AFTER the durable
+    # extracted write — only the urls this batch completed.
+    (
+        batch.select("url").distinct()
+        .withColumn("run_id", F.lit(run_id))
+        .withColumn("completed_ts", F.current_timestamp())
+        .select("run_id", "url", "completed_ts")
+        .write.mode("append").parquet(ckpt_path)
+    )
     return {"batch_rows": n, "extracted_rows": n,
             "extracted_path": extracted_path,
             "metrics_path": metrics_path, "checkpoint_path": ckpt_path}
+
+
+def _parquet_files(root: str) -> set[str]:
+    """Data files currently under a parquet output dir (driver-side
+    metadata listing — the local stand-in for an Iceberg snapshot's file
+    manifest; O(file count), touches no data). Assumes one writer per
+    output dir, like the rest of the local parquet stand-in; Iceberg's
+    snapshot isolation removes the assumption on a real cluster."""
+    out: set[str] = set()
+    for dirpath, _dirs, files in os.walk(root):
+        for f in files:
+            if f.endswith(".parquet"):
+                out.add(os.path.join(dirpath, f))
+    return out
