@@ -110,6 +110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_multimodal_stub": T.q_multimodal_stub,          # rows-only
         "q_ngram_jaccard": T.q_ngram_jaccard,
         "q_url_normalize": T.q_url_normalize,
+        "q_gopher_rules": T.q_gopher_rules,
         # similarity search / embedding ops
         "q_ann_cosine_topk": A.q_ann_cosine_topk,
         "q_ann_lsh_buckets": A.q_ann_lsh_buckets,          # rows-only
@@ -160,6 +161,7 @@ def oracle_sql() -> dict[str, str]:
         "q_fingerprint": T.ORACLE_FINGERPRINT,
         "q_ngram_jaccard": T.ORACLE_NGRAM_JACCARD,
         "q_url_normalize": T.ORACLE_URL_NORMALIZE,
+        "q_gopher_rules": T.ORACLE_GOPHER_RULES,
     }
     from goose_spark import ann as A
     from goose_spark import streaming as S

@@ -500,3 +500,70 @@ SELECT o_orderkey AS okey,
        {_oracle_url_chain()} AS url_norm
 FROM orders
 """
+
+
+# ---------------------------------------------------- gopher quality gate --
+# The standard composite webtext filter (word-count bounds, mean word
+# length bounds, symbol ratio, bullet-line ratio): emits per-doc feature
+# values AND the pass/fail verdict, all as JVM expressions. Thresholds
+# follow the published Gopher-rules shape; exact values are pipeline
+# policy, centralized here.
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.10    # '#' or '…' per word
+GOPHER_MAX_BULLET_RATIO = 0.90    # lines starting with a bullet
+
+
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality gate over documents: features + verdict."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n_words = F.size(toks)
+    # mean word length over whitespace tokens = non-ws chars / n_words
+    n_nonws = F.length(F.regexp_replace(F.col("text"), r"\s", ""))
+    mean_wl = F.round(n_nonws.cast("double") / n_words, 4)
+    n_sym = (F.length(F.col("text"))
+             - F.length(F.regexp_replace(F.col("text"), r"[#…]", "")))
+    sym_ratio = F.round(n_sym.cast("double") / n_words, 6)
+    lines = F.split(F.col("text"), r"\n")
+    n_lines = F.size(lines)
+    n_bullet = F.size(F.filter(lines, lambda l: l.rlike(r"^\s*[-*•]")))
+    bullet_ratio = F.round(n_bullet.cast("double") / n_lines, 6)
+    passes = (
+        n_words.between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+        & mean_wl.between(GOPHER_MIN_MEAN_WORD_LEN, GOPHER_MAX_MEAN_WORD_LEN)
+        & (sym_ratio <= GOPHER_MAX_SYMBOL_RATIO)
+        & (bullet_ratio <= GOPHER_MAX_BULLET_RATIO)
+    )
+    return d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        sym_ratio.alias("symbol_ratio"),
+        bullet_ratio.alias("bullet_ratio"),
+        passes.alias("passes"),
+    )
+
+
+ORACLE_GOPHER_RULES = f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS INT) AS n_words,
+         ROUND(CAST(LENGTH(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
+               / len(string_split_regex(trim(text), '\\s+')), 4) AS mean_word_len,
+         ROUND(CAST(LENGTH(text)
+                    - LENGTH(regexp_replace(text, '[#…]', '', 'g')) AS DOUBLE)
+               / len(string_split_regex(trim(text), '\\s+')), 6) AS symbol_ratio,
+         ROUND(CAST(len(list_filter(string_split(text, chr(10)),
+                                    l -> regexp_matches(l, '^\\s*[-*•]'))) AS DOUBLE)
+               / len(string_split(text, chr(10))), 6) AS bullet_ratio
+  FROM documents)
+SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_ratio,
+       (n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+        AND mean_word_len BETWEEN {GOPHER_MIN_MEAN_WORD_LEN} AND {GOPHER_MAX_MEAN_WORD_LEN}
+        AND symbol_ratio <= {GOPHER_MAX_SYMBOL_RATIO}
+        AND bullet_ratio <= {GOPHER_MAX_BULLET_RATIO}) AS passes
+FROM t
+"""
