@@ -68,6 +68,12 @@ def _q_stateful_running_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q_stateful_running_max(spark, sf_dir)
 
 
+def _q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from goose_spark.streaming import q_stream_dedup
+
+    return q_stream_dedup(spark, sf_dir)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     from goose_spark import ann as A
@@ -124,6 +130,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stream_sessions": _q_stream_sessions,
         # custom stateful operator via applyInPandasWithState (rows-only)
         "q_stateful_running_max": _q_stateful_running_max,
+        # streaming dedup: doubled source, dropDuplicates within watermark
+        "q_stream_dedup": _q_stream_dedup,
     }
 
 
@@ -172,6 +180,7 @@ def oracle_sql() -> dict[str, str]:
     oracles["q_ann_ivf_probe"] = A.oracle_ann_ivf_probe()
     oracles["q_stream_window"] = S.ORACLE_STREAM_WINDOW
     oracles["q_stream_sessions"] = S.ORACLE_STREAM_SESSIONS
+    oracles["q_stream_dedup"] = S.ORACLE_STREAM_DEDUP
     try:  # needs a live session to read the query vector parameter
         from goose_spark.ann import oracle_ann_cosine_topk
 

@@ -247,3 +247,68 @@ def q_stateful_running_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = spark.table(sink).localCheckpoint()
     spark.catalog.dropTempView(sink)
     return out
+
+
+# ---- streaming dedup (exactly-once-ish ingest) -----------------------------
+def _stream_dir_doubled(sf_dir: str) -> str:
+    """Stage events.parquet TWICE (distinct filenames) so the stream
+    carries genuine duplicates for dropDuplicates to remove — testdata
+    event_ids are unique within one copy."""
+    tag = hashlib.md5((sf_dir + ":x2").encode()).hexdigest()[:12]
+    d = f"/tmp/goose_stream_dup_{tag}"
+    src = os.path.join(sf_dir, "events.parquet")
+    for name in ("events_a.parquet", "events_b.parquet"):
+        dst = os.path.join(d, name)
+        if not os.path.exists(dst) or os.path.getmtime(dst) < os.path.getmtime(src):
+            os.makedirs(d, exist_ok=True)
+            shutil.copy2(src, dst)
+    return d
+
+
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exactly-once-ish ingest: the file source delivers every
+    event twice (two staged copies); ``dropDuplicates`` on the event key
+    inside the stream removes replays before the windowed aggregation —
+    the streaming twin of the batch job's write-side dedupe (B11/B21).
+    State note: with a watermark, dedup state for keys older than the
+    watermark is evicted; the availableNow drain here processes the whole
+    (finite) directory. Oracle: the duplicate delivery cancels out, so
+    per-type counts over the plain events table."""
+    tz_before = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+        src = (
+            spark.readStream.schema(batch_schema)
+            .parquet(_stream_dir_doubled(sf_dir))
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+        )
+        agg = (
+            src.withWatermark("ts", WATERMARK)
+            .dropDuplicates(["event_id"])
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                (F.round(F.sum("value"), 4) + F.lit(0.0)).alias("sum_value"),
+            )
+        )
+        sink = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+        q = (
+            agg.writeStream.format("memory").queryName(sink)
+            .outputMode("complete").trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        out = spark.table(sink).localCheckpoint()
+        spark.catalog.dropTempView(sink)
+        return out
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz_before)
+
+
+ORACLE_STREAM_DEDUP = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 4) + 0.0 AS sum_value
+FROM events
+GROUP BY event_type
+"""

@@ -75,3 +75,14 @@ def test_stateful_running_max_matches_batch_groupby(spark):
     for u, (n, vmax) in exp.items():
         assert got[u][0] == n, u
         assert got[u][1] == pytest.approx(vmax), u
+
+
+def test_stream_dedup_removes_doubled_delivery(spark):
+    from goose_spark.streaming import q_stream_dedup
+
+    got = {r.event_type: (r.n_events, r.sum_value)
+           for r in q_stream_dedup(spark, SF).collect()}
+    exp = {r.event_type: (r.n, round(r.s, 4) + 0.0)
+           for r in _events_utc(spark).groupBy("event_type").agg(
+               F.count(F.lit(1)).alias("n"), F.sum("value").alias("s")).collect()}
+    assert got == exp  # every event delivered twice, counted once
