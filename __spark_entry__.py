@@ -176,8 +176,13 @@ def oracle_sql() -> dict[str, str]:
 
     oracles["q_embed_neardup"] = A.ORACLE_EMBED_NEARDUP
     oracles["q_ann_ivf"] = A.ORACLE_ANN_IVF
-    oracles["q_ann_lsh_probe"] = A.oracle_ann_lsh_probe()
-    oracles["q_ann_ivf_probe"] = A.oracle_ann_ivf_probe()
+    try:  # parameterized via pyarrow (query vector + bucket); a failure
+        # must not take down the whole oracle dict (probe degrades to
+        # rows-only instead)
+        oracles["q_ann_lsh_probe"] = A.oracle_ann_lsh_probe()
+        oracles["q_ann_ivf_probe"] = A.oracle_ann_ivf_probe()
+    except Exception:
+        pass
     oracles["q_stream_window"] = S.ORACLE_STREAM_WINDOW
     oracles["q_stream_sessions"] = S.ORACLE_STREAM_SESSIONS
     oracles["q_stream_dedup"] = S.ORACLE_STREAM_DEDUP
