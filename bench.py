@@ -70,10 +70,20 @@ def main() -> None:
     J.extract(todo.limit(64), partitions=cpus).agg(
         F.count(F.lit(1))).collect()  # warm-up, untimed
 
-    t1, row = _extract_pass()
-    t2, _ = _extract_pass()
-    timings["q_extract"] = min(t1, t2)
-    extras["q_extract_runs"] = [round(t1, 3), round(t2, 3)]
+    # adaptive min-of-N: keep timing until the two best passes agree
+    # within 20% (max 4). Quiet windows stop at 2; a noisy window
+    # (observed 134 s then 31 s, identical code) gets more chances to
+    # catch a gap in the interference.
+    runs: list[float] = []
+    row = None
+    while len(runs) < 4:
+        t, r = _extract_pass()
+        runs.append(t)
+        row = r if row is None else row
+        if len(runs) >= 2 and sorted(runs)[1] <= sorted(runs)[0] * 1.2:
+            break
+    timings["q_extract"] = min(runs)
+    extras["q_extract_runs"] = [round(t, 3) for t in runs]
     extras["docs_extracted"] = int(row["docs"])
     extras["mb_in"] = round((row["bytes_in"] or 0) / 1e6, 1)
     extras["docs_per_sec"] = round(row["docs"] / timings["q_extract"], 2)
