@@ -76,7 +76,7 @@ def main() -> None:
     # catch a gap in the interference.
     runs: list[float] = []
     row = None
-    while len(runs) < 4:
+    while len(runs) < 4 and sum(runs) < 300:  # cap total retry budget
         t, r = _extract_pass()
         runs.append(t)
         row = r if row is None else row
