@@ -178,11 +178,16 @@ def oracle_sql() -> dict[str, str]:
     oracles["q_ann_ivf"] = A.ORACLE_ANN_IVF
     try:  # parameterized via pyarrow (query vector + bucket); a failure
         # must not take down the whole oracle dict (probe degrades to
-        # rows-only instead)
+        # rows-only instead) — but it must be LOUD: a silent drop here
+        # shrinks the oracle gate with no signal (ADVICE r2).
         oracles["q_ann_lsh_probe"] = A.oracle_ann_lsh_probe()
         oracles["q_ann_ivf_probe"] = A.oracle_ann_ivf_probe()
-    except Exception:
-        pass
+    except Exception as e:
+        import sys
+        import traceback
+        print("WARNING __spark_entry__: parameterized ANN probe oracles "
+              f"degraded to rows-only: {e!r}", file=sys.stderr)
+        traceback.print_exc(file=sys.stderr)
     oracles["q_stream_window"] = S.ORACLE_STREAM_WINDOW
     oracles["q_stream_sessions"] = S.ORACLE_STREAM_SESSIONS
     oracles["q_stream_dedup"] = S.ORACLE_STREAM_DEDUP
@@ -193,6 +198,8 @@ def oracle_sql() -> dict[str, str]:
         if spark is not None:
             oracles["q_ann_cosine_topk"] = oracle_ann_cosine_topk(
                 spark, "/root/testdata/sf0.01")
-    except Exception:
-        pass  # rows-only fallback for the ANN probe
+    except Exception as e:
+        import sys
+        print("WARNING __spark_entry__: q_ann_cosine_topk oracle degraded "
+              f"to rows-only: {e!r}", file=sys.stderr)
     return oracles

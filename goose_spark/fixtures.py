@@ -19,6 +19,7 @@ SURVEY.md §0.1).
 
 from __future__ import annotations
 
+import html as html_mod
 import os
 from datetime import datetime, timedelta, timezone
 
@@ -32,7 +33,7 @@ EPOCH = datetime(2025, 1, 1, tzinfo=timezone.utc)
 
 # Bump when the template or stopword tables change: the /tmp cache key
 # includes it, so stale fixtures regenerate instead of mismatching code.
-FIXTURE_VERSION = 2
+FIXTURE_VERSION = 3
 
 # Languages cycled onto a deterministic share of docs so fixtures exercise
 # every shipped stopword table (VERDICT r1 item 3), beyond the seed
@@ -132,14 +133,21 @@ def _render(doc_id: int, built: dict, page_lang_attr: str, charset: str,
     # og:title pages carry a boilerplate <title> the extractor must NOT
     # pick (A4: og:title wins)
     title_tag = "untitled document page" if og_title else built["title"]
-    og = (f'<meta property="og:title" content="{built["title"]}">\n'
+    # html.escape(quote=True) on every attribute interpolation: a corpus
+    # word containing `"` or `&` would otherwise truncate the attribute
+    # and silently shift the golden expectations (ADVICE r2). The parser
+    # entity-decodes attribute values, so goldens are unaffected for
+    # quote-free corpora and now CORRECT for quote-bearing ones.
+    esc = lambda s: html_mod.escape(str(s), quote=True)
+    og = (f'<meta property="og:title" content="{esc(built["title"])}">\n'
           if og_title else "")
-    pub = (f'<meta property="article:published_time" content="{publish_date}">\n'
+    pub = (f'<meta property="article:published_time" content="{esc(publish_date)}">\n'
            if publish_date else "")
     head = _HEAD.format(
         lang=page_lang_attr, charset=charset, title_tag=title_tag,
         og_title=og, publish_meta=pub, site=site,
-        desc=f"summary of article {doc_id}", keywords=f"k{doc_id % 7}, k{doc_id % 11}",
+        desc=esc(f"summary of article {doc_id}"),
+        keywords=esc(f"k{doc_id % 7}, k{doc_id % 11}"),
         canonical=f"/canon/{doc_id}",
     )
     paras_html = "\n".join(f"<p>{p}</p>" for p in built["paras"])

@@ -29,6 +29,7 @@ Scale design (the part that must hold at 10^12 documents / 1000 executors):
 from __future__ import annotations
 
 import os
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -228,10 +229,19 @@ def run_job_df(spark: SparkSession, pages: DataFrame, out_dir: str,
     # repartition shuffles only the (small) extracted output, after the
     # expensive UDF stage, and lands each bucket in one file. On Iceberg
     # the writer's target-file-size + fanout handles this instead.
-    before = _parquet_files(extracted_path)
+    #
+    # Each batch writes under its own batch=<run_id>-<uuid> partition dir,
+    # so "this batch's files" is a listing of that subtree — never a
+    # global before/after diff. Concurrent runs (or a crash between the
+    # extracted append and the checkpoint append) cannot mis-attribute
+    # another writer's files into this batch's metrics/checkpoint; the
+    # batch id doubles as write-level lineage in the table layout (the
+    # local stand-in for an Iceberg snapshot/commit id).
+    batch_id = f"{run_id}-{uuid.uuid4().hex[:12]}"
+    batch_root = os.path.join(extracted_path, f"batch={batch_id}")
     (extract(todo, partitions).repartition(F.col("bucket"))
-     .write.mode("append").partitionBy("bucket").parquet(extracted_path))
-    new_files = sorted(_parquet_files(extracted_path) - before)
+     .write.mode("append").partitionBy("bucket").parquet(batch_root))
+    new_files = sorted(_parquet_files(batch_root))
 
     # This batch's rows, via the new files only — a column-pruned scan
     # (the fat cleaned_text column is never read back); basePath keeps
@@ -262,11 +272,12 @@ def run_job_df(spark: SparkSession, pages: DataFrame, out_dir: str,
 
 
 def _parquet_files(root: str) -> set[str]:
-    """Data files currently under a parquet output dir (driver-side
-    metadata listing — the local stand-in for an Iceberg snapshot's file
-    manifest; O(file count), touches no data). Assumes one writer per
-    output dir, like the rest of the local parquet stand-in; Iceberg's
-    snapshot isolation removes the assumption on a real cluster."""
+    """Data files under a parquet dir (driver-side metadata listing —
+    the local stand-in for an Iceberg snapshot's file manifest;
+    O(file count), touches no data). Callers pass a batch-scoped
+    batch=<id> subtree, so the listing is immune to concurrent writers
+    in the same table root; Iceberg's snapshot isolation is the cluster
+    equivalent."""
     out: set[str] = set()
     for dirpath, _dirs, files in os.walk(root):
         for f in files:

@@ -50,13 +50,13 @@ def _extract_with_timeout(html, lang, url, budget_s: float, config=None):
         signal.setitimer(signal.ITIMER_REAL, 0.0)
         return result
     except ExtractionTimeout:
-        return _timeout_result(html, lang, url, budget_s)
+        return _timeout_result(html, lang, url, budget_s, config)
     finally:
         signal.setitimer(signal.ITIMER_REAL, 0.0)
         signal.signal(signal.SIGALRM, prev)
 
 
-def _timeout_result(html, lang, url, budget_s: float):
+def _timeout_result(html, lang, url, budget_s: float, config=None):
     from gooselite.pipeline import (
         STATUS_TIMEOUT,
         _empty_result,
@@ -64,11 +64,17 @@ def _timeout_result(html, lang, url, budget_s: float):
     )
     from gooselite.text import resolve_language
 
+    # Mirror extract_one's A21 semantics (pipeline.py:85): a forced
+    # target_language overrides the row lang, so a timed-out doc reports
+    # the same effective lang / lang_fallback as its non-timeout peers
+    # and METRICS lang grouping stays consistent under config.
+    primary = (config.target_language if config is not None
+               and config.target_language else lang)
     return _empty_result(url, STATUS_TIMEOUT,
                          f"exceeded {budget_s:.0f}s budget",
                          len(html) if html else 0,
-                         resolve_language(lang), budget_s * 1000.0,
-                         lang_fallback=not _requested_lang_ok(lang))
+                         resolve_language(primary), budget_s * 1000.0,
+                         lang_fallback=not _requested_lang_ok(primary))
 
 # column order must match goose_spark.schema.EXTRACTED
 _OUT_COLS = [
@@ -138,7 +144,7 @@ def extract_batches(it: Iterator[pd.DataFrame],
                     # alarm delivered in _extract_with_timeout's 1-2
                     # bytecode disarm window — doc finished at the budget
                     # boundary; record it as a timeout row, not a task kill
-                    r = _timeout_result(html, lang, url, budget)
+                    r = _timeout_result(html, lang, url, budget, config)
                 r["warc_ts"] = warc_ts
                 r["partition_id"] = pid
                 r["bucket"] = int(bucket) if pd.notna(bucket) else 0
