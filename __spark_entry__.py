@@ -77,6 +77,7 @@ def _q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     from goose_spark import ann as A
+    from goose_spark import components as CC
     from goose_spark import queries as Q
     from goose_spark import textops as T
 
@@ -124,6 +125,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_embed_neardup": A.q_embed_neardup,
         "q_ann_ivf": A.q_ann_ivf,
         "q_ann_ivf_probe": A.q_ann_ivf_probe,
+        # keeper resolution: connected components over near-dup pairs
+        "q_dedup_groups": CC.q_dedup_groups,
         # streaming (B19): watermark + tumbling window, availableNow drain
         "q_stream_window": _q_stream_window,
         # gap-based session windows (oracle: gaps-and-islands rewrite)
@@ -176,6 +179,9 @@ def oracle_sql() -> dict[str, str]:
 
     oracles["q_embed_neardup"] = A.ORACLE_EMBED_NEARDUP
     oracles["q_ann_ivf"] = A.ORACLE_ANN_IVF
+    from goose_spark import components as CC
+
+    oracles["q_dedup_groups"] = CC.ORACLE_DEDUP_GROUPS
     try:  # parameterized via pyarrow (query vector + bucket); a failure
         # must not take down the whole oracle dict (probe degrades to
         # rows-only instead) — but it must be LOUD: a silent drop here

@@ -11,10 +11,11 @@ these with the reference's files verbatim (SURVEY.md §0.3).
 Languages: the full space-delimited set the Goose lineage ships files for
 (en, de, es, fr, it, pt, nl, sv, da, fi, hu, id, nb, no, pl, ru), per
 SURVEY.md A8 / §1.1 — Norwegian registered under both its bokmål (nb) and
-legacy (no) codes like the canonical resources dir. CJK segmentation
-variants (zh, ko, ar word-splitters) remain an explicit non-goal until the
-reference ships them (SURVEY.md §2.7); those codes fall back to 'en' and
-are flagged via lang_fallback.
+legacy (no) codes like the canonical resources dir. The segmentation
+variants zh / ko / ar (the lineage's StopWordsChinese / StopWordsKorean /
+StopWordsArabic) ship as of round 3 with matching tokenizer variants in
+gooselite.text; truly unknown codes (ja, th, …) still fall back to 'en'
+with lang_fallback=True.
 """
 
 from __future__ import annotations
@@ -255,6 +256,56 @@ _RU = """
 этого этой этом этот эту я
 """
 
+# --- Segmentation-variant languages (SURVEY.md A8; VERDICT r2 item 3) ---
+# [canon: goose resources stopwords-zh/ko/ar + text.py StopWordsChinese /
+# StopWordsKorean / StopWordsArabic]. The Goose lineage ships these three
+# as tokenizer VARIANTS, not plain space-split tables: Chinese is
+# dictionary-segmented, Korean matches agglutinated particles by
+# substring, Arabic strips harakat diacritics first. The matching logic
+# lives in gooselite.text (_zh_count/_ko_count/_ar_count); the tables
+# here are the classic public stopword cores for each language.
+
+# Chinese: 1–2 char function words. The greedy maximal-match segmenter in
+# text.py uses this table itself as the dictionary (longest match first),
+# so multi-char entries like 没有 are counted once, not as 没+有.
+_ZH = """
+的 了 是 在 我 有 和 就 不 人 都 一 上 也 很 到 说 要 去 你 会 着 看 好
+这 那 他 她 它 吗 呢 吧 啊 把 被 让 从 对 向 与 及 或 等 而 于 之 其 此
+为 以 能 可 将 并 但 却 则 再 只 才 过 来 给 用 地 得 最 更 又 没 还 即
+如 若 因 由 所 个 中 下 后 前 时 些 每 各 该 另 某 何 谁 哪 别 太 真
+一个 没有 自己 我们 你们 他们 她们 它们 这个 那个 这些 那些 什么 怎么
+如果 因为 所以 但是 而且 虽然 然后 还有 已经 可以 现在 时候 为什么 哪里
+大家 这样 那样 不是 就是 还是 或者 以及 并且 不过 只是 由于 于是 因此
+然而 当然 其实 非常 十分 比较 例如 比如 这里 那里 之后 之前 以后 以前
+上面 下面 其中 其他 任何 所有 一些 一样 一起 一直 正在 曾经 应该 需要
+能够 可能 也许 大概 几乎 根据 对于 关于 通过 随着 作为 成为 进行 出来
+起来 下来 过去 认为 觉得 知道 表示 发现 开始 继续 如此 即使 尽管 无论
+只要 只有 除了 此外 而是 就会 不会 不能 不要 没什么 什么样 以及
+"""
+
+# Korean: particles + common function eojeol; matched by SUBSTRING inside
+# space-split tokens (particles agglutinate onto content words).
+_KO = """
+이 그 저 것 수 등 들 및 에 의 가 을 를 은 는 와 과 도 로 으로 만
+까지 부터 에서 에게 한테 처럼 보다 대로 마다 조차 마저 밖에
+이다 있다 없다 하다 되다 같다 그리고 그러나 하지만 그래서 또한 또는
+만약 때문 위해 대한 대해 통해 따라 관련 경우 지금 여기 거기 저기
+어디 누구 무엇 왜 어떻게 언제 모든 어떤 다른 같은 많은 매우 아주
+너무 정말 바로 다시 함께 거의 우리 당신 자신 자기 이런 그런 저런
+있는 하는 되는 했다 한다 된다 수도 합니다 입니다 있습니다 했습니다
+"""
+
+# Arabic: exact match after stripping tatweel + harakat (text.py).
+_AR = """
+في من على إلى عن مع هذا هذه ذلك تلك التي الذي الذين ما لا لم لن إن
+أن كان كانت يكون تكون هو هي هم هن نحن أنا أنت أو ثم بل لكن إذا حتى
+قد كل بعض غير بين عند عندما كيف أين متى لماذا هناك هنا ليس ليست كما
+منذ خلال حول دون بعد قبل فوق تحت أمام وراء ضد نحو لدى له لها لهم به
+بها بهم فيه فيها فيهم إليه إليها عليه عليها عليهم منه منها منهم أيضا
+فقط ربما جدا الآن اليوم أمس غدا إذ حيث بينما لأن لذلك وهو وهي أي أية
+كانوا يمكن يجب عليك لديه لدينا نفس بعد قبل حين كلما أكثر أقل جميع
+"""
+
 STOPWORDS: dict[str, frozenset[str]] = {
     lang: frozenset(words.split())
     for lang, words in (
@@ -262,6 +313,7 @@ STOPWORDS: dict[str, frozenset[str]] = {
         ("it", _IT), ("pt", _PT), ("nl", _NL), ("sv", _SV),
         ("da", _DA), ("fi", _FI), ("hu", _HU), ("id", _ID),
         ("nb", _NO), ("no", _NO), ("pl", _PL), ("ru", _RU),
+        ("zh", _ZH), ("ko", _KO), ("ar", _AR),
     )
 }
 

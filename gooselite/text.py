@@ -60,6 +60,114 @@ def resolve_language(lang: str | None) -> str:
     return DEFAULT_LANGUAGE
 
 
+# --- Segmentation variants (SURVEY.md A8) -------------------------------
+# [canon: goose/text.py StopWordsChinese / StopWordsKorean /
+# StopWordsArabic — reference checkout empty at build time, §0.1]. The
+# Goose lineage dispatches stopword counting per language class:
+#   zh — content is dictionary-segmented before matching (the lineage
+#        uses a full lexicon segmenter); from scratch here: greedy
+#        maximal-match over the zh stopword table itself (longest entry
+#        first) across CJK runs. The zh table is 1–2 char function
+#        words, so max-match over the table reproduces the stopword
+#        COUNT without shipping a lexicon; non-CJK spans fall back to
+#        the default whitespace tokenizer.
+#   ko — space-split eojeol; a token counts when a stopword occurs as a
+#        SUBSTRING (particles agglutinate onto content words).
+#   ar — strip tatweel (U+0640) and harakat diacritics (U+064B–065F,
+#        U+0670), then exact whitespace-token match.
+
+_CJK_RUN_RE = re.compile(r"[㐀-䶿一-鿿]+")
+_AR_DIACRITICS_RE = re.compile("[\u0640\u064b-\u065f\u0670]")  # tatweel + harakat only (NOT digits/letters)
+
+_ZH_TABLE = STOPWORDS.get("zh", frozenset())
+_ZH_MAX_LEN = max((len(w) for w in _ZH_TABLE), default=1)
+
+
+def _zh_match_run(run: str, table, out: list[str] | None) -> int:
+    """Greedy maximal-match of table entries over one CJK run; returns the
+    match count, appending matched words to `out` when given."""
+    n = 0
+    i = 0
+    L = len(run)
+    max_len = _ZH_MAX_LEN
+    while i < L:
+        for w in range(min(max_len, L - i), 0, -1):
+            cand = run[i:i + w]
+            if cand in table:
+                n += 1
+                if out is not None:
+                    out.append(cand)
+                i += w
+                break
+        else:
+            i += 1
+    return n
+
+
+def _zh_count(content: str, table, out: list[str] | None = None) -> tuple[int, int]:
+    """(word_count, stop_word_count) for Chinese text: CJK runs are
+    max-match segmented; interleaved non-CJK spans use the default
+    tokenizer. word_count = CJK chars + non-CJK whitespace tokens."""
+    wc = 0
+    sc = 0
+    pos = 0
+    for m in _CJK_RUN_RE.finditer(content):
+        gap = content[pos:m.start()]
+        if gap:
+            for tok in gap.translate(_PUNCT_TABLE).lower().split():
+                wc += 1
+                if tok in table:
+                    sc += 1
+                    if out is not None:
+                        out.append(tok)
+        run = m.group()
+        wc += len(run)
+        sc += _zh_match_run(run, table, out)
+        pos = m.end()
+    tail = content[pos:]
+    if tail:
+        for tok in tail.translate(_PUNCT_TABLE).lower().split():
+            wc += 1
+            if tok in table:
+                sc += 1
+                if out is not None:
+                    out.append(tok)
+    return wc, sc
+
+
+def _ko_count(content: str, table, out: list[str] | None = None) -> tuple[int, int]:
+    """(word_count, stop_word_count) for Korean: space-split tokens, a
+    token is a stopword hit when any table entry occurs inside it
+    [canon: StopWordsKorean's `stop_word in word` containment]."""
+    toks = content.translate(_PUNCT_TABLE).lower().split()
+    sc = 0
+    for tok in toks:
+        for sw in table:
+            if sw in tok:
+                sc += 1
+                if out is not None:
+                    out.append(tok)
+                break
+    return len(toks), sc
+
+
+def _ar_count(content: str, table, out: list[str] | None = None) -> tuple[int, int]:
+    """(word_count, stop_word_count) for Arabic: strip tatweel + harakat,
+    then exact token match [canon: StopWordsArabic.remove_harakat]."""
+    normalized = _AR_DIACRITICS_RE.sub("", content)
+    toks = normalized.translate(_PUNCT_TABLE).lower().split()
+    sc = 0
+    for tok in toks:
+        if tok in table:
+            sc += 1
+            if out is not None:
+                out.append(tok)
+    return len(toks), sc
+
+
+_VARIANT_COUNTERS = {"zh": _zh_count, "ko": _ko_count, "ar": _ar_count}
+
+
 def stopword_count_fast(content: str, lang: str | None = None) -> int:
     """``get_stopword_count(content, lang).stop_word_count`` without the
     inner-trim and overlap-list allocations — the scoring hot path only
@@ -71,10 +179,15 @@ def stopword_count_fast(content: str, lang: str | None = None) -> int:
     empty string, so counting over ``raw.translate().lower().split()``
     (whitespace split, empties dropped, trim-insensitive) yields the
     identical count; byte-identity is guarded by the golden suite.
+    zh/ko/ar dispatch to their segmentation variants (module header).
     """
     if not content:
         return 0
-    table = STOPWORDS[resolve_language(lang)]
+    code = resolve_language(lang)
+    table = STOPWORDS[code]
+    variant = _VARIANT_COUNTERS.get(code)
+    if variant is not None:
+        return variant(content, table)[1]
     n = 0
     for w in content.translate(_PUNCT_TABLE).lower().split():
         if w in table:
@@ -87,12 +200,21 @@ def get_stopword_count(content: str, lang: str | None = None) -> WordStats:
 
     [canon: goose/text.py StopWords.get_stopword_count]: strip punctuation,
     split on single spaces (content is expected inner-trimmed), membership
-    test lowercased.
+    test lowercased. zh/ko/ar dispatch to their segmentation variants.
     """
     ws = WordStats()
     if not content:
         return ws
-    table = STOPWORDS[resolve_language(lang)]
+    code = resolve_language(lang)
+    table = STOPWORDS[code]
+    variant = _VARIANT_COUNTERS.get(code)
+    if variant is not None:
+        overlapping: list[str] = []
+        wc, sc = variant(content, table, overlapping)
+        ws.word_count = wc
+        ws.stop_word_count = sc
+        ws.stop_words = overlapping
+        return ws
     # lowercase the whole block once (lower() never adds/removes spaces,
     # so the split is unchanged) instead of per candidate word
     candidate_words = remove_punctuation(content).lower().split(" ")

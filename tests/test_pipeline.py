@@ -49,8 +49,8 @@ def test_null_html_is_empty_status():
 
 
 def test_lang_column_primary_meta_fallback():
-    # lang column unsupported (zh) + html lang=de → meta fallback applies
-    r = extract_one(_page(lang="de").encode(), "zh", "https://x.example/1")
+    # lang column unsupported (ja) + html lang=de → meta fallback applies
+    r = extract_one(_page(lang="de").encode(), "ja", "https://x.example/1")
     assert r["lang"] == "de"
     # lang column present and supported → wins over meta
     r = extract_one(_page(lang="de").encode(), "en", "https://x.example/1")
@@ -155,8 +155,8 @@ def test_movies_extraction():
 def test_lang_fallback_flag():
     # supported lang column → no fallback
     assert extract_one(_page().encode(), "en", "https://x")["lang_fallback"] is False
-    # zh column + de meta → fallback (meta path)
-    r = extract_one(_page(lang="de").encode(), "zh", "https://x")
+    # ja column + de meta → fallback (meta path)
+    r = extract_one(_page(lang="de").encode(), "ja", "https://x")
     assert r["lang"] == "de" and r["lang_fallback"] is True
     # null column, en meta… html lang="en" resolves via meta path → fallback
     r2 = extract_one(_page().encode(), None, "https://x")
@@ -199,3 +199,62 @@ def test_new_language_tables_score():
     r = extract_one(html.encode(), "ru", "https://x.example/ru/1")
     assert r["lang"] == "ru"
     assert r["status"] == "ok"
+
+
+def test_zh_extraction_end_to_end():
+    """A8 r3: a real (spaceless) Chinese page extracts non-empty byte-stable
+    text with the zh table, lang_fallback=False."""
+    paras = [
+        "这个故事的主人公是一个年轻人，他从小就喜欢读书，因为书里有很多知识。",
+        "没有人知道他为什么这样努力，但是大家都觉得他将来一定会成功的。",
+        "在城市的另一边，他的朋友们也在为自己的梦想而努力，他们相信只要坚持就可以实现。",
+    ]
+    html = ('<html lang="zh"><head><title>年轻人的故事</title></head><body>'
+            '<div id="nav"><a href="/a">首页</a> <a href="/b">新闻</a></div>'
+            '<div class="article">'
+            + "".join(f"<p>{p}</p>" for p in paras)
+            + "</div></body></html>")
+    r = extract_one(html.encode("utf-8"), "zh", "https://x.example/zh")
+    assert r["status"] == "ok"
+    assert r["lang"] == "zh" and r["lang_fallback"] is False
+    assert r["cleaned_text"] == "\n\n".join(paras)
+    r2 = extract_one(html.encode("utf-8"), "zh", "https://x.example/zh")
+    assert r2["cleaned_text"] == r["cleaned_text"]  # byte-stable
+
+
+def test_ko_extraction_end_to_end():
+    paras = [
+        "그 학생은 도서관에서 매일 책을 읽었다. 친구들과 함께 공부를 했다. "
+        "선생님도 그의 노력을 알고 있었다.",
+        "시험이 끝난 후에 모두가 결과를 기다렸다. 결국 그는 좋은 성적을 받았다. "
+        "가족들은 매우 기뻐했다.",
+        "지금도 그는 같은 자리에서 공부를 한다. 꿈을 위해 다시 시작하는 것이다. "
+        "우리도 그것을 보고 배운다.",
+    ]
+    html = ('<html lang="ko"><head><title>학생의 이야기</title></head><body>'
+            '<div class="article">'
+            + "".join(f"<p>{p}</p>" for p in paras)
+            + "</div></body></html>")
+    r = extract_one(html.encode("utf-8"), "ko", "https://x.example/ko")
+    assert r["status"] == "ok"
+    assert r["lang"] == "ko" and r["lang_fallback"] is False
+    assert r["cleaned_text"] == "\n\n".join(paras)
+
+
+def test_ar_extraction_end_to_end():
+    paras = [
+        "كان هذا الطالب يقرأ في المكتبة كل يوم لأن القراءة هي طريقه إلى المعرفة "
+        "وكان أصدقاؤه معه في هذا الطريق.",
+        "بعد الامتحان كان الجميع في انتظار النتيجة وقد حصل على درجة عالية "
+        "وكانت عائلته سعيدة جدا بهذا النجاح.",
+        "حتى الآن هو يدرس في نفس المكان من أجل حلمه الكبير ونحن نتعلم منه "
+        "كيف يكون العمل مع الصبر طريقا إلى الهدف.",
+    ]
+    html = ('<html lang="ar"><head><title>قصة الطالب</title></head><body>'
+            '<div class="article">'
+            + "".join(f"<p>{p}</p>" for p in paras)
+            + "</div></body></html>")
+    r = extract_one(html.encode("utf-8"), "ar", "https://x.example/ar")
+    assert r["status"] == "ok"
+    assert r["lang"] == "ar" and r["lang_fallback"] is False
+    assert r["cleaned_text"] == "\n\n".join(paras)

@@ -30,7 +30,8 @@ def test_stopword_count_lang_tables_differ():
 def test_resolve_language():
     assert resolve_language("en") == "en"
     assert resolve_language("de-DE") == "de"
-    assert resolve_language("zh") == "en"  # no CJK table → fallback
+    assert resolve_language("zh") == "zh"  # segmentation variant (r3)
+    assert resolve_language("ja") == "en"  # no table → fallback
     assert resolve_language(None) == "en"
     assert resolve_language("") == "en"
 
@@ -38,3 +39,42 @@ def test_resolve_language():
 def test_empty_text():
     ws = get_stopword_count("", "en")
     assert ws.word_count == 0 and ws.stop_word_count == 0
+
+
+# --- Segmentation variants (A8: zh / ko / ar, r3) -----------------------
+
+def test_zh_greedy_max_match():
+    # 没有 is one table entry — greedy max-match counts it once, not 没+有
+    ws = get_stopword_count("没有人知道这个故事的结局", "zh")
+    assert ws.stop_words == ["没有", "人", "知道", "这个", "的"]
+    assert ws.stop_word_count == 5
+    # word_count = CJK chars (12) for a pure-CJK run
+    assert ws.word_count == 12
+
+
+def test_zh_mixed_script():
+    # latin spans tokenize by whitespace; CJK runs segment independently
+    ws = get_stopword_count("spark 是一个 engine 的框架", "zh")
+    assert "是" in ws.stop_words and "一个" in ws.stop_words and "的" in ws.stop_words
+    assert ws.stop_word_count == 3
+
+
+def test_ko_substring_particles():
+    # particles agglutinate: 에서/를 occur INSIDE the tokens
+    ws = get_stopword_count("학교에서 공부를 했다", "ko")
+    assert ws.stop_word_count == 3
+
+
+def test_ar_diacritics_stripped():
+    # هَذَا matches table entry هذا after harakat strip; مِنْ matches من
+    ws = get_stopword_count("هَذَا كتاب مِنْ المكتبة", "ar")
+    assert ws.stop_word_count == 2
+
+
+def test_variant_fast_path_agrees():
+    from gooselite.text import stopword_count_fast
+    for lang, text in (("zh", "没有人知道这个故事的结局"),
+                       ("ko", "학교에서 공부를 했다"),
+                       ("ar", "هَذَا كتاب مِنْ المكتبة")):
+        assert (stopword_count_fast(text, lang)
+                == get_stopword_count(text, lang).stop_word_count)

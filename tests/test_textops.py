@@ -145,3 +145,52 @@ def test_ann_ivf_probe_recall_vs_bruteforce(spark):
     brute = [r.vec_id for r in A.q_ann_cosine_topk(spark, SF).collect()]
     assert len(probe) == A.TOP_K
     assert len(set(probe) & set(brute)) >= 3  # recall@10 ≥ 0.3 with nprobe=2/8
+
+
+# --- Connected components / keeper resolution (r3) ----------------------
+
+def test_connected_components_transitive_collapse(spark):
+    """Planted graph: chain 1-2-3 plus pair 10-11 plus isolated 99 —
+    transitive groups collapse to min-id keepers, isolated nodes keep
+    themselves (VERDICT r2 item 4 'done' criterion)."""
+    from goose_spark.components import connected_components
+
+    nodes = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 10, 11, 99)], "id long")
+    # chain: 1~2, 2~3 (1~3 never scored) — 3 must still land on keeper 1
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "src long, dst long")
+    got = {r["id"]: r["keeper_id"]
+           for r in connected_components(nodes, edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 99: 99}
+
+
+def test_connected_components_long_chain(spark):
+    """A 12-node path needs multiple propagation rounds; the convergence
+    detection (decimal label-sum fixpoint) must not stop early."""
+    from goose_spark.components import connected_components
+
+    n = 12
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src long, dst long")
+    got = {r["id"]: r["keeper_id"]
+           for r in connected_components(nodes, edges).collect()}
+    assert got == {i: 0 for i in range(n)}
+
+
+def test_dedup_groups_covers_every_vector(spark):
+    """q_dedup_groups: one row per vec_id; keepers are group minima; the
+    sf0.001 synthetic embeddings produce at least one multi-node group."""
+    from goose_spark.components import q_dedup_groups
+
+    pdf = q_dedup_groups(spark, SF).toPandas()
+    import duckdb
+    n_vecs = duckdb.sql(
+        f"SELECT COUNT(*) FROM read_parquet('{SF}/embeddings.parquet')"
+    ).fetchone()[0]
+    assert len(pdf) == n_vecs
+    assert pdf.vec_id.is_unique
+    # keeper is a member of its own group and the group min
+    grp = pdf.groupby("keeper_id")["vec_id"].min()
+    assert (grp.index == grp.values).all()
