@@ -44,7 +44,8 @@ def _q_udf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out = _flagship(spark, sf_dir)
     return out.select(
-        "url", "status", "lang", "title", "publish_date", "lang_fallback",
+        "url", "status", "lang", "title", "publish_date", "top_image",
+        "lang_fallback",
         F.length("cleaned_text").alias("text_len"),
         F.size("movies").alias("n_movies"),
     )

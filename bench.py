@@ -16,6 +16,12 @@ import sys
 import time
 
 
+# Best q_extract wall seconds ever recorded on this box per sf, updated
+# when a faster quiet-window run lands (BENCH/BASELINE.md history). Used
+# only to veto premature early-stop — never reported as the measurement.
+_HISTORICAL_BEST_S = {0.1: 10.5, 0.01: 2.8}
+
+
 def build_session(cpus: int):
     from pyspark.sql import SparkSession
 
@@ -74,6 +80,14 @@ def main() -> None:
     # within 20% (max 4). Quiet windows stop at 2; a noisy window
     # (observed 134 s then 31 s, identical code) gets more chances to
     # catch a gap in the interference.
+    #
+    # Historical-best guard (VERDICT r2 item 6): two passes that agree
+    # can still both sit in the same slow window (r2 driver run: 25.5 s
+    # and 30.6 s agreed within 20% while the recorded best for identical
+    # code was 10.5 s). When the session best is >1.5× the recorded
+    # historical best for this sf, agreement is NOT evidence of a quiet
+    # window — keep retrying inside the same attempt/time caps.
+    hist_best = _HISTORICAL_BEST_S.get(round(sf, 4))
     runs: list[float] = []
     row = None
     while len(runs) < 4 and sum(runs) < 300:  # cap total retry budget
@@ -81,9 +95,12 @@ def main() -> None:
         runs.append(t)
         row = r if row is None else row
         if len(runs) >= 2 and sorted(runs)[1] <= sorted(runs)[0] * 1.2:
-            break
+            if hist_best is None or min(runs) <= hist_best * 1.5:
+                break
     timings["q_extract"] = min(runs)
     extras["q_extract_runs"] = [round(t, 3) for t in runs]
+    if hist_best is not None:
+        extras["q_extract_historical_best"] = hist_best
     extras["docs_extracted"] = int(row["docs"])
     extras["mb_in"] = round((row["bytes_in"] or 0) / 1e6, 1)
     extras["docs_per_sec"] = round(row["docs"] / timings["q_extract"], 2)

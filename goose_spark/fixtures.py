@@ -23,6 +23,8 @@ import html as html_mod
 import os
 from datetime import datetime, timedelta, timezone
 
+from urllib.parse import urljoin
+
 import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -33,7 +35,7 @@ EPOCH = datetime(2025, 1, 1, tzinfo=timezone.utc)
 
 # Bump when the template or stopword tables change: the /tmp cache key
 # includes it, so stale fixtures regenerate instead of mismatching code.
-FIXTURE_VERSION = 4
+FIXTURE_VERSION = 5
 
 # Languages cycled onto a deterministic share of docs so fixtures exercise
 # every shipped stopword table (VERDICT r1 item 3), beyond the seed
@@ -60,6 +62,7 @@ _HEAD = (
     "<title>{title_tag} | s{site}</title>\n"
     "{og_title}"
     "{publish_meta}"
+    "{image_meta}"
     '<meta name="description" content="{desc}">\n'
     '<meta name="keywords" content="{keywords}">\n'
     '<link rel="canonical" href="{canonical}">\n'
@@ -129,7 +132,8 @@ def _build_doc(doc_id: int, text: str, lang: str | None) -> dict:
 
 def _render(doc_id: int, built: dict, page_lang_attr: str, charset: str,
             og_title: bool = False, publish_date: str | None = None,
-            movies: list[str] | None = None) -> str:
+            movies: list[str] | None = None,
+            image: str | None = None) -> str:
     site = doc_id % 40
     # og:title pages carry a boilerplate <title> the extractor must NOT
     # pick (A4: og:title wins)
@@ -144,9 +148,17 @@ def _render(doc_id: int, built: dict, page_lang_attr: str, charset: str,
           if og_title else "")
     pub = (f'<meta property="article:published_time" content="{esc(publish_date)}">\n'
            if publish_date else "")
+    # ~half of image pages declare og:image, the rest twitter:image —
+    # exercises both meta schemas; relative path exercises urljoin
+    if image is None:
+        img = ""
+    elif doc_id % 2 == 0:
+        img = f'<meta property="og:image" content="{esc(image)}">\n'
+    else:
+        img = f'<meta name="twitter:image" content="{esc(image)}">\n'
     head = _HEAD.format(
         lang=page_lang_attr, charset=charset, title_tag=title_tag,
-        og_title=og, publish_meta=pub, site=site,
+        og_title=og, publish_meta=pub, image_meta=img, site=site,
         desc=esc(f"summary of article {doc_id}"),
         keywords=esc(f"k{doc_id % 7}, k{doc_id % 11}"),
         canonical=f"/canon/{doc_id}",
@@ -195,17 +207,23 @@ def generate(documents_parquet: str, out_dir: str, copies: int = 1) -> tuple[str
         dup = doc_id % 20 == 3                # ~5%: second (url, warc_ts+1h) row
         og_title = doc_id % 25 == 21          # ~4%: boilerplate <title>, og:title real
         with_movie = doc_id % 25 == 11        # ~4%: embedded video iframe
+        with_image = doc_id % 4 != 3          # 75%: og:image / twitter:image
 
         publish_date = None
         if doc_id % 5 != 0:                   # 80%: article:published_time meta
             pd_ts = EPOCH + timedelta(hours=(doc_id * 7919) % 8760)
             publish_date = pd_ts.strftime("%Y-%m-%dT%H:%M:%S+00:00")
         movies = ([f"https://www.youtube.com/embed/v{doc_id}"] if with_movie else [])
+        # relative for a third of image pages (urljoin against page url)
+        image = None
+        if with_image:
+            image = (f"/img/lead_{doc_id}.jpg" if doc_id % 3 == 0
+                     else f"https://cdn{doc_id % 5}.example/lead_{doc_id}.jpg")
 
         charset = "iso-8859-1" if latin1 else "utf-8"
         html_text = _render(doc_id, built, doc_lang or built["eff"], charset,
                             og_title=og_title, publish_date=publish_date,
-                            movies=movies)
+                            movies=movies, image=image)
         html_bytes: bytes | None
         try:
             html_bytes = html_text.encode(charset)
@@ -215,7 +233,7 @@ def generate(documents_parquet: str, out_dir: str, copies: int = 1) -> tuple[str
             charset = "utf-8"
             html_text = _render(doc_id, built, doc_lang or built["eff"], charset,
                                 og_title=og_title, publish_date=publish_date,
-                                movies=movies)
+                                movies=movies, image=image)
             html_bytes = html_text.encode(charset)
 
         status = "ok"
@@ -223,15 +241,18 @@ def generate(documents_parquet: str, out_dir: str, copies: int = 1) -> tuple[str
         expected_title = built["title"]
         expected_publish = publish_date
         expected_movies = list(movies)
+        expected_image = image  # resolved per-copy url below (urljoin)
         if null_html:
             html_bytes = None
             status, expected_text, expected_title = "empty", "", ""
             expected_publish, expected_movies = None, []
+            expected_image = None
         elif truncated:
             cut = html_text.encode("utf-8").find(b"<title")
             html_bytes = html_text.encode("utf-8")[:cut]
             status, expected_text, expected_title = "empty", "", ""
             expected_publish, expected_movies = None, []
+            expected_image = None
 
         for c in range(copies):
             suffix = "" if c == 0 else f"-{c}"
@@ -247,7 +268,10 @@ def generate(documents_parquet: str, out_dir: str, copies: int = 1) -> tuple[str
                             "expected_title": expected_title,
                             "expected_status": status, "lang": built["eff"],
                             "expected_publish_date": expected_publish,
-                            "expected_movies": expected_movies})
+                            "expected_movies": expected_movies,
+                            "expected_top_image": (
+                                urljoin(url, expected_image)
+                                if expected_image else None)})
 
     pages_schema = pa.schema([
         ("url", pa.string()), ("warc_ts", pa.timestamp("us", tz="UTC")),

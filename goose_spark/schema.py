@@ -40,6 +40,7 @@ EXTRACTED = StructType([
     StructField("tags", ArrayType(StringType()), True),
     StructField("movies", ArrayType(StringType()), True),  # A18 video srcs
     StructField("publish_date", StringType(), True),  # A19, as stated on page
+    StructField("top_image", StringType(), True),     # A17-lite: og/twitter image
     StructField("lang_fallback", BooleanType(), True),  # A5 non-primary lang
     StructField("status", StringType(), False),       # ok|empty|parse_error|decode_error
     StructField("err", StringType(), True),

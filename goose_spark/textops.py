@@ -12,7 +12,7 @@ path). Only SimHash and language-ID use Arrow-batched pandas UDFs
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
@@ -312,6 +312,7 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SIMHASH_BANDS = 4   # 4 × 16-bit bands: hamming ≤ 3 ⇒ ≥ 1 band identical
 HAMMING_MAX = 3     # (pigeonhole) — banding loses NO pair under the gate
+HOT_BUCKET_CAP = 1000  # band buckets above this route to the exact path
 
 
 def simhash_pairs(docs: DataFrame) -> DataFrame:
@@ -326,10 +327,20 @@ def simhash_pairs(docs: DataFrame) -> DataFrame:
     runs in ONE pass (a band self-JOIN would re-evaluate it per side —
     Spark does not reuse the unaliased subplan); everything after it
     carries only (doc_id, 8-byte fingerprint, 2-byte band key) through a
-    single groupBy shuffle. Band buckets are collision-sized (16-bit keys
-    only collide for near-identical docs), so per-bucket pair expansion
-    is bounded; a pathologically hot bucket (e.g. millions of empty docs
-    fingerprinting to 0) should be routed to exact dedup first."""
+    single groupBy shuffle.
+
+    Hot-bucket guard (VERDICT r2 item 7): a pathological bucket (e.g.
+    millions of empty docs fingerprinting to 0) would make both the
+    collect_list array and the quadratic pair expansion a straggler.
+    Bucket sizes are counted FIRST (a 10-byte-row aggregate); buckets
+    over HOT_BUCKET_CAP members never reach collect_list — their members
+    are routed through the exact path: grouped by FULL fingerprint and
+    emitted as star edges (group-min ↔ member, hamming 0). A star is
+    component-equivalent to the clique for downstream keeper resolution
+    (goose_spark.components), and linear, not quadratic. Trade-off: two
+    hot-bucket docs with non-identical fingerprints lose their pair —
+    exactly the "route to exact dedup first" mitigation, now enforced in
+    the plan instead of documented."""
     simhash64 = pandas_udf(_simhash_kernel, "long")
     sigs = docs.select("doc_id", simhash64("text").alias("simhash"))
     bands = sigs.select(
@@ -343,24 +354,69 @@ def simhash_pairs(docs: DataFrame) -> DataFrame:
             for b in range(SIMHASH_BANDS)
         ])).alias("band"),
     ).select("m", "band.band_id", "band.band_val")
-    buckets = (
-        bands.groupBy("band_id", "band_val")
-        .agg(F.collect_list("m").alias("ms"))
-        .filter(F.size("ms") > 1)
+    # ONE linear pipeline — no cold/hot plan branches. Branching two
+    # consumers off the UDF subtree duplicates it in the physical plan
+    # (measured: 2× ArrowEvalPython, no static ReusedExchange), i.e. the
+    # fingerprint would run twice. Instead:
+    #   1. window over (band_id, band_val): bucket_n;
+    #   2. window over (band_id, band_val, simhash): min_id — the star
+    #      anchor for hot buckets;
+    #   3. groupBy (band_id, band_val, subkey) where subkey = -1 for
+    #      cold rows and doc_id for hot rows: cold buckets aggregate
+    #      their ≤ HOT_BUCKET_CAP members into one array, HOT rows stay
+    #      ONE ROW PER GROUP — no giant collect_list array ever exists;
+    #   4. one projection emits either the all-pairs array (cold, array
+    #      expression bounded by the cap) or the single star edge (hot).
+    # Three narrow shuffles of ~20-byte rows replace the old single
+    # shuffle — the price of the guard; the wide text never shuffles.
+    wb = Window.partitionBy("band_id", "band_val")
+    ws = Window.partitionBy("band_id", "band_val", "simhash")
+    tagged = (
+        bands.select("band_id", "band_val",
+                     F.col("m.doc_id").alias("doc_id"),
+                     F.col("m.simhash").alias("simhash"))
+        .withColumn("min_id", F.min("doc_id").over(ws))
+        .withColumn("bucket_n", F.count(F.lit(1)).over(wb))
+        .filter(F.col("bucket_n") > 1)
     )
-    pairs = (
-        buckets.select(F.explode("ms").alias("a"), "ms")
-        .select("a", F.explode("ms").alias("b"))
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"),
-                F.col("a.simhash").alias("sim_a"), F.col("b.simhash").alias("sim_b"))
-        .distinct()
+    hot = F.col("bucket_n") > HOT_BUCKET_CAP
+    grouped = (
+        tagged.groupBy("band_id", "band_val",
+                       F.when(hot, F.col("doc_id")).otherwise(F.lit(-1))
+                       .alias("subkey"))
+        .agg(F.collect_list(F.struct("doc_id", "simhash", "min_id")).alias("ms"),
+             F.first("bucket_n").alias("bucket_n"))
     )
-    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    # cold: all unordered pairs from the bounded member array; hot: the
+    # group is a single member — its star edge (min_id ↔ doc_id),
+    # dropped when the member IS the anchor. sim_* = null marks a star
+    # edge (hamming 0 by construction: identical fingerprints).
+    pair_struct = (
+        "flatten(transform(ms, a -> "
+        " filter(transform(ms, b -> struct(a.doc_id as id_a, b.doc_id as id_b,"
+        "                                  a.simhash as sim_a, b.simhash as sim_b)),"
+        "        p -> p.id_a < p.id_b)))"
+    )
+    star_struct = (
+        "filter(transform(ms, x -> struct(x.min_id as id_a, x.doc_id as id_b,"
+        "                                 cast(null as long) as sim_a,"
+        "                                 cast(null as long) as sim_b)),"
+        "       p -> p.id_a != p.id_b)"
+    )
+    edges = grouped.select(F.explode(F.expr(
+        f"case when bucket_n <= {HOT_BUCKET_CAP} then {pair_struct} "
+        f"else {star_struct} end")).alias("e")).select("e.*")
+    hamming = (
+        F.when(F.col("sim_a").isNull(), F.lit(0))
+        .otherwise(F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))))
+        .cast("int")
+    )
+    # a pair can surface from a cold bucket of one band and a hot bucket
+    # of another: min-merge dedupes across bands AND across paths
     return (
-        pairs.withColumn("hamming", hamming.cast("int"))
+        edges.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= HAMMING_MAX)
-        .select("id_a", "id_b", "hamming")
+        .groupBy("id_a", "id_b").agg(F.min("hamming").alias("hamming"))
     )
 
 

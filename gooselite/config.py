@@ -20,7 +20,8 @@ class ExtractionConfig:
     target_language: forces the stopword table for every document,
         overriding the per-row lang column (the reference's EP3 semantics,
         SURVEY.md §3.1); None → lang column primary, meta-lang fallback.
-    enable_publish_date / enable_videos / enable_tags: feature toggles for
+    enable_publish_date / enable_videos / enable_tags / enable_images:
+        feature toggles for
         the optional Article fields (A19 / A18 / A16); disabled fields
         come back None/empty, the pipeline itself is unchanged.
     doc_timeout_s: per-document wall budget enforced by the Spark UDF
@@ -32,6 +33,7 @@ class ExtractionConfig:
     enable_publish_date: bool = True
     enable_videos: bool = True
     enable_tags: bool = True
+    enable_images: bool = True
     doc_timeout_s: float | None = None
 
 

@@ -178,6 +178,42 @@ def get_movies(root: Node, idx: dict | None = None) -> list[str]:
     return movies
 
 
+# A17-lite: network-free top-image metadata. Full Goose image scoring
+# fetches candidate images to rank by dimensions/bytes (a legitimate
+# non-goal here — no network); og:image / twitter:image / link
+# rel=image_src are declared by the page itself and need only a
+# metadata_index lookup [canon: goose/images/extractors.py
+# check_known_schemas — the lineage checks these meta schemas FIRST,
+# before any fetch-based scoring].
+_TOP_IMAGE_META = (
+    ("property", "og:image"),
+    ("name", "twitter:image"),
+    ("property", "twitter:image"),
+    ("name", "twitter:image:src"),
+    ("itemprop", "image"),
+)
+
+
+def get_top_image(root: Node, url: str, idx: dict | None = None) -> str | None:
+    """A17-lite: the page-declared lead image url, resolved against the
+    page url; meta schemas in priority order, then <link rel=image_src>.
+    None when the page declares no image (never a fetch)."""
+    metas = _nodes(root, idx, "meta")
+    for attr, value in _TOP_IMAGE_META:
+        target = value.lower()
+        for meta in metas:
+            if meta.attrib.get(attr, "").lower() == target:
+                content = inner_trim(meta.attrib.get("content", ""))
+                if content:
+                    return urljoin(url, content)
+    for link in _nodes(root, idx, "link"):
+        if link.attrib.get("rel", "").lower() == "image_src":
+            href = link.attrib.get("href", "").strip()
+            if href:
+                return urljoin(url, href)
+    return None
+
+
 _TAG_HREF_RE = re.compile(r"/tag[s]?/")
 
 

@@ -29,6 +29,7 @@ from gooselite.metadata import (
     get_movies,
     get_publish_date,
     get_title,
+    get_top_image,
     metadata_index,
 )
 from gooselite.minidom import ParseError, dispose, parse_html
@@ -57,7 +58,8 @@ def _empty_result(url: str, status: str, err: str | None, bytes_in: int,
         "url": url, "lang": lang, "title": "", "cleaned_text": "",
         "meta_description": "", "meta_keywords": "", "meta_lang": None,
         "canonical_link": "", "domain": get_domain(url), "tags": [],
-        "movies": [], "publish_date": None, "lang_fallback": lang_fallback,
+        "movies": [], "publish_date": None, "top_image": None,
+        "lang_fallback": lang_fallback,
         "status": status, "err": err, "bytes_in": bytes_in,
         "parse_ms": parse_ms,
     }
@@ -124,6 +126,8 @@ def _extract_parsed(root, lang: str | None, url: str, bytes_in: int,
     movies = get_movies(root, idx) if config.enable_videos else []
     publish_date = (get_publish_date(root, idx)
                     if config.enable_publish_date else None)
+    top_image = (get_top_image(root, url, idx)
+                 if config.enable_images else None)
 
     # A5: primary lang (target_language or lang column), meta-lang
     # fallback, then 'en'; lang_fallback records any non-primary path
@@ -152,6 +156,7 @@ def _extract_parsed(root, lang: str | None, url: str, bytes_in: int,
         "meta_keywords": meta_keywords, "meta_lang": meta_lang,
         "canonical_link": canonical_link, "domain": get_domain(url),
         "tags": tags, "movies": movies, "publish_date": publish_date,
+        "top_image": top_image,
         "lang_fallback": lang_fallback, "status": status, "err": None,
         "bytes_in": bytes_in, "parse_ms": parse_ms,
     }

@@ -258,3 +258,31 @@ def test_ar_extraction_end_to_end():
     assert r["status"] == "ok"
     assert r["lang"] == "ar" and r["lang_fallback"] is False
     assert r["cleaned_text"] == "\n\n".join(paras)
+
+
+def test_top_image_extraction():
+    """A17-lite: og:image wins, twitter:image fallback, relative urls
+    resolve against the page url, no-image pages yield None."""
+    base = _page()
+    og = base.replace(
+        "</head>",
+        '<meta property="og:image" content="https://cdn.example/a.jpg">\n'
+        '<meta name="twitter:image" content="https://cdn.example/b.jpg">\n'
+        "</head>")
+    r = extract_one(og.encode(), "en", "https://x.example/1")
+    assert r["top_image"] == "https://cdn.example/a.jpg"  # og wins
+    tw = base.replace(
+        "</head>",
+        '<meta name="twitter:image" content="/img/lead.jpg">\n</head>')
+    r = extract_one(tw.encode(), "en", "https://x.example/sub/1")
+    assert r["top_image"] == "https://x.example/img/lead.jpg"  # urljoin
+    link = base.replace(
+        "</head>", '<link rel="image_src" href="pic.png">\n</head>')
+    r = extract_one(link.encode(), "en", "https://x.example/sub/1")
+    assert r["top_image"] == "https://x.example/sub/pic.png"
+    assert extract_one(base.encode(), "en", "https://x")["top_image"] is None
+    # config toggle
+    from gooselite.config import ExtractionConfig
+    off = ExtractionConfig(enable_images=False)
+    r = extract_one(og.encode(), "en", "https://x", config=off)
+    assert r["top_image"] is None

@@ -43,6 +43,10 @@ def test_spark_matches_goldens_byte_identical(extracted_and_expected):
     # A18 movies (arrays → compare as lists)
     mv_eq = merged.apply(lambda r: list(r.movies) == list(r.expected_movies), axis=1)
     assert mv_eq.all(), merged.loc[~mv_eq, "url"].head().tolist()
+    # A17-lite top_image: og:image/twitter:image resolved against the url
+    ti_eq = merged.top_image.fillna("∅") == merged.expected_top_image.fillna("∅")
+    assert ti_eq.all(), merged.loc[~ti_eq, "url"].head().tolist()
+    assert merged.top_image.notna().sum() > 0  # image pages exist
     # fixtures span every shipped stopword table (≥12 languages)
     assert merged.lang_x.nunique() >= 12
 
