@@ -57,6 +57,12 @@ def _q_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_window_counts(spark, sf_dir)
 
 
+def _q_stream_window_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from goose_spark.streaming import stream_window_counts_append
+
+    return stream_window_counts_append(spark, sf_dir)
+
+
 def _q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from goose_spark.streaming import stream_session_counts
 
@@ -130,6 +136,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_groups": CC.q_dedup_groups,
         # streaming (B19): watermark + tumbling window, availableNow drain
         "q_stream_window": _q_stream_window,
+        # append-mode twin: only finalized windows, late rows dropped
+        "q_stream_window_append": _q_stream_window_append,
         # gap-based session windows (oracle: gaps-and-islands rewrite)
         "q_stream_sessions": _q_stream_sessions,
         # custom stateful operator via applyInPandasWithState (rows-only)
@@ -196,6 +204,7 @@ def oracle_sql() -> dict[str, str]:
               f"degraded to rows-only: {e!r}", file=sys.stderr)
         traceback.print_exc(file=sys.stderr)
     oracles["q_stream_window"] = S.ORACLE_STREAM_WINDOW
+    oracles["q_stream_window_append"] = S.ORACLE_STREAM_WINDOW_APPEND
     oracles["q_stream_sessions"] = S.ORACLE_STREAM_SESSIONS
     oracles["q_stream_dedup"] = S.ORACLE_STREAM_DEDUP
     try:  # needs a live session to read the query vector parameter

@@ -26,6 +26,10 @@ def main() -> None:
     ap.add_argument("--partitions", type=int, default=None,
                     help="UDF-stage partitions (default 4x defaultParallelism)")
     ap.add_argument("--iceberg", action="store_true")
+    ap.add_argument("--init-ddl", action="store_true",
+                    help="with --iceberg: CREATE TABLE IF NOT EXISTS the "
+                         "four job tables (goose_spark.iceberg.DDL) in the "
+                         "catalog derived from --src before running")
     args = ap.parse_args()
 
     from goose_spark import job as J
@@ -36,6 +40,12 @@ def main() -> None:
     spark = SparkSession.builder.appName(f"goose-extract-{args.run_id}").getOrCreate()
     J.configure_session(spark)
     if args.iceberg:
+        if args.init_ddl:
+            from goose_spark.iceberg import ddl_sql
+
+            catalog = args.src.rsplit(".", 1)[0]  # db of the pages table
+            for stmt in ddl_sql(catalog):
+                spark.sql(stmt)
         pages = spark.read.format("iceberg").load(args.src)
         result = J.run_job_df(spark, pages, args.dst, args.run_id, args.partitions)
     else:

@@ -86,3 +86,84 @@ def test_stream_dedup_removes_doubled_delivery(spark):
            for r in _events_utc(spark).groupBy("event_type").agg(
                F.count(F.lit(1)).alias("n"), F.sum("value").alias("s")).collect()}
     assert got == exp  # every event delivered twice, counted once
+
+
+def test_stream_window_append_drops_late_rows(spark, tmp_path_factory):
+    """Append-mode watermark semantics (VERDICT r2 item 9), asserting the
+    HARD guarantee: a row arriving after its window was finalized and
+    emitted is dropped (never re-emitted / double-counted); finalized
+    windows emit exactly once; the trailing non-final window is withheld.
+    (Rows later than the watermark whose window is still live are only
+    best-effort dropped per Spark's contract — measured: this Spark
+    accepts them — so the fixture targets an already-EMITTED window.)"""
+    import os
+    import pandas as pd
+    from goose_spark.streaming import stream_window_counts_append
+
+    d = str(tmp_path_factory.mktemp("late_src"))
+
+    def _write(name, rows, mtime):
+        # single parquet FILES at the top level: the file stream source
+        # lists files, not subdirectories (a Spark .write.parquet dir
+        # would be invisible to it)
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id",
+                                          "event_type", "value", "props"])
+        pdf["ts"] = pd.to_datetime(pdf["ts"])
+        path = os.path.join(d, name)
+        tbl = pa.Table.from_pandas(pdf, preserve_index=False).cast(pa.schema([
+            ("event_id", pa.int64()), ("ts", pa.timestamp("us")),
+            ("user_id", pa.int64()), ("event_type", pa.string()),
+            ("value", pa.float64()), ("props", pa.string())]))
+        pq.write_table(tbl, path)
+        os.utime(path, (mtime, mtime))
+        return path
+
+    t0 = 1_700_000_000  # maxFilesPerTrigger=1 → one batch per file, mtime order
+    # batch 0: the windows under test — Jan 1 (3 rows), Jan 2 (1 row)
+    _write("a.parquet", [
+        (1, "2025-01-01 01:00:00", 1, "view", 1.0, "{}"),
+        (2, "2025-01-01 02:00:00", 1, "view", 2.0, "{}"),
+        (3, "2025-01-01 03:00:00", 1, "view", 3.0, "{}"),
+        (4, "2025-01-02 12:00:00", 1, "view", 4.0, "{}"),
+    ], t0)
+    # batches 1-2: ratchet the watermark far past those windows (Jan 9+)
+    # so they are finalized, EMITTED, and their state evicted
+    _write("b.parquet", [(5, "2025-01-10 00:00:00", 1, "view", 5.0, "{}")], t0 + 600)
+    _write("c.parquet", [(6, "2025-01-10 01:00:00", 1, "view", 6.0, "{}")], t0 + 1200)
+    # batch 3: a LATE row into the already-emitted Jan 1 window — must be
+    # dropped (accepting it would re-emit Jan 1 or corrupt its count)
+    _write("d.parquet", [(7, "2025-01-01 04:00:00", 1, "view", 100.0, "{}")], t0 + 1800)
+
+    out = stream_window_counts_append(
+        spark, SF, src_dir=d, max_files_per_trigger=1).toPandas()
+    got = {str(r.day): (r.n_events, r.sum_value) for _, r in out.iterrows()}
+    assert len(out) == 2                      # no dup emission of Jan 1
+    assert got.get("2025-01-01") == (3, 6.0)  # late row NOT counted
+    assert got.get("2025-01-02") == (1, 4.0)
+    assert "2025-01-10" not in got            # trailing window withheld
+
+
+def test_stream_window_append_matches_finalized_oracle(spark):
+    """q_stream_window_append over the real events table equals the
+    complete-mode result restricted to finalized windows (the oracle's
+    WHERE clause) — and is a strict subset of the complete-mode result."""
+    from goose_spark.streaming import (
+        stream_window_counts,
+        stream_window_counts_append,
+    )
+
+    app = stream_window_counts_append(spark, SF)
+    comp = stream_window_counts(spark, SF)
+    assert app.count() < comp.count()
+    assert app.exceptAll(comp).count() == 0  # subset
+    # the withheld remainder is exactly the trailing non-final day(s)
+    max_ts = _events_utc(spark).agg(F.max("ts")).collect()[0][0]
+    import datetime
+    wm_day = (max_ts - datetime.timedelta(days=1)).date()
+    missing = comp.exceptAll(app).select("day").distinct().collect()
+    assert all(r.day + datetime.timedelta(days=1) > wm_day or
+               (r.day + datetime.timedelta(days=1) == wm_day and False)
+               for r in missing)
