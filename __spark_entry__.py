@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     from goose_spark import ann as A
     from goose_spark import components as CC
+    from goose_spark import pdfops as P
     from goose_spark import queries as Q
     from goose_spark import textops as T
 
@@ -125,6 +126,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ngram_jaccard": T.q_ngram_jaccard,
         "q_url_normalize": T.q_url_normalize,
         "q_gopher_rules": T.q_gopher_rules,
+        # PDF / layout parse (north rule's second extraction modality):
+        # render documents.text as real PDFs in-batch, parse back with
+        # positional layout reconstruction; oracle = normalized source
+        "q_pdf_extract": P.q_pdf_extract,
         # similarity search / embedding ops
         "q_ann_cosine_topk": A.q_ann_cosine_topk,
         "q_ann_lsh_buckets": A.q_ann_lsh_buckets,          # rows-only
@@ -152,6 +157,7 @@ def oracle_sql() -> dict[str, str]:
     plans). q_ann_cosine_topk's oracle is parameterized by the collected
     query vector, so it is rendered against sf0.01 here.
     """
+    from goose_spark import pdfops as PD
     from goose_spark import queries as Q
     from goose_spark import textops as T
 
@@ -182,6 +188,7 @@ def oracle_sql() -> dict[str, str]:
         "q_ngram_jaccard": T.ORACLE_NGRAM_JACCARD,
         "q_url_normalize": T.ORACLE_URL_NORMALIZE,
         "q_gopher_rules": T.ORACLE_GOPHER_RULES,
+        "q_pdf_extract": PD.ORACLE_PDF_EXTRACT,
     }
     from goose_spark import ann as A
     from goose_spark import streaming as S
