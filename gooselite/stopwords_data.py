@@ -14,8 +14,9 @@ SURVEY.md A8 / §1.1 — Norwegian registered under both its bokmål (nb) and
 legacy (no) codes like the canonical resources dir. The segmentation
 variants zh / ko / ar (the lineage's StopWordsChinese / StopWordsKorean /
 StopWordsArabic) ship as of round 3 with matching tokenizer variants in
-gooselite.text; truly unknown codes (ja, th, …) still fall back to 'en'
-with lang_fallback=True.
+gooselite.text, and ja / th follow with the same max-match machinery;
+truly unknown codes (vi, he, …) still fall back to 'en' with
+lang_fallback=True.
 """
 
 from __future__ import annotations
@@ -306,6 +307,34 @@ _AR = """
 كانوا يمكن يجب عليك لديه لدينا نفس بعد قبل حين كلما أكثر أقل جميع
 """
 
+# Japanese: particles + function words (hiragana-heavy, plus common
+# kanji function words); matched by greedy maximal-match over kana/kanji
+# runs in gooselite.text (_ja_count) — Japanese has no word spaces, and
+# particles are the highest-frequency tokens, so max-match over this
+# table reproduces the stopword COUNT without a full lexicon, exactly
+# like the zh variant.
+_JA = """
+の に は を た が で て と し れ さ ある いる も する から な こと
+として い や など なっ ない この ため その あっ よう また もの という
+あり まで られ なる へ か だ これ によって により おり より による ず
+なり られる において ば なかっ なく しかし について せ だっ できる
+それ う ので なお のみ でき き つ における および いう さらに でも ら
+たり たち ます ん なら 特に せる 及び これら とき では にて ほか
+ながら うち そして ただし かつて それぞれ または お ほど ものの です
+とも どの ここ そこ こちら どこ だれ なに 何 私 あの どれ ほとんど
+ました ません でした だが だけ しか ずつ こそ さえ ても けど けれど
+"""
+
+# Thai: no word spaces; common function words matched by greedy
+# maximal-match over Thai-script runs (_th_count in gooselite.text).
+_TH = """
+ที่ การ ใน เป็น และ ของ มี ได้ ว่า ให้ จะ ไม่ ก็ แต่ หรือ เมื่อ จาก โดย
+กับ ความ นี้ ไป มา ต้อง ถึง อยู่ อย่าง ซึ่ง แล้ว ทำ เรา คือ ยัง ด้วย
+นั้น เขา คุณ ฉัน ผม กว่า ทั้ง ต่อ ตาม ขึ้น ใช้ เพราะ เพื่อ อะไร ทุก
+อีก คน ดี มาก กัน ทาง เอง หลัง เลย ใคร ถ้า ขณะ ครั้ง อื่น จึง เคย
+ค่ะ ครับ น่า พอ เพียง ส่วน หนึ่ง สอง ดังนั้น อย่างไร ทำไม เช่น ทั้งนี้
+"""
+
 STOPWORDS: dict[str, frozenset[str]] = {
     lang: frozenset(words.split())
     for lang, words in (
@@ -314,6 +343,7 @@ STOPWORDS: dict[str, frozenset[str]] = {
         ("da", _DA), ("fi", _FI), ("hu", _HU), ("id", _ID),
         ("nb", _NO), ("no", _NO), ("pl", _PL), ("ru", _RU),
         ("zh", _ZH), ("ko", _KO), ("ar", _AR),
+        ("ja", _JA), ("th", _TH),
     )
 }
 

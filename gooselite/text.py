@@ -77,19 +77,26 @@ def resolve_language(lang: str | None) -> str:
 #        U+0670), then exact whitespace-token match.
 
 _CJK_RUN_RE = re.compile(r"[㐀-䶿一-鿿]+")
+# ja runs add the kana blocks (hiragana U+3040–309F, katakana U+30A0–30FF)
+# to the ideograph ranges — particles are hiragana and agglutinate directly
+# onto kanji stems, so one run carries both; th runs are the Thai block
+# (U+0E00–0E7F), also space-less.
+_JA_RUN_RE = re.compile(r"[぀-ゟ゠-ヿ㐀-䶿一-鿿]+")
+_TH_RUN_RE = re.compile(r"[฀-๿]+")
 _AR_DIACRITICS_RE = re.compile("[\u0640\u064b-\u065f\u0670]")  # tatweel + harakat only (NOT digits/letters)
 
 _ZH_TABLE = STOPWORDS.get("zh", frozenset())
 _ZH_MAX_LEN = max((len(w) for w in _ZH_TABLE), default=1)
 
 
-def _zh_match_run(run: str, table, out: list[str] | None) -> int:
-    """Greedy maximal-match of table entries over one CJK run; returns the
-    match count, appending matched words to `out` when given."""
+def _zh_match_run(run: str, table, out: list[str] | None,
+                  max_len: int = _ZH_MAX_LEN) -> int:
+    """Greedy maximal-match of table entries over one space-less-script
+    run; returns the match count, appending matched words to `out` when
+    given. Shared by the zh / ja / th variants."""
     n = 0
     i = 0
     L = len(run)
-    max_len = _ZH_MAX_LEN
     while i < L:
         for w in range(min(max_len, L - i), 0, -1):
             cand = run[i:i + w]
@@ -104,14 +111,15 @@ def _zh_match_run(run: str, table, out: list[str] | None) -> int:
     return n
 
 
-def _zh_count(content: str, table, out: list[str] | None = None) -> tuple[int, int]:
-    """(word_count, stop_word_count) for Chinese text: CJK runs are
-    max-match segmented; interleaved non-CJK spans use the default
-    tokenizer. word_count = CJK chars + non-CJK whitespace tokens."""
+def _run_count(content: str, table, run_re, max_len: int,
+               out: list[str] | None = None) -> tuple[int, int]:
+    """(word_count, stop_word_count) for space-less scripts: script runs
+    are max-match segmented; interleaved other-script spans use the
+    default tokenizer. word_count = run chars + other whitespace tokens."""
     wc = 0
     sc = 0
     pos = 0
-    for m in _CJK_RUN_RE.finditer(content):
+    for m in run_re.finditer(content):
         gap = content[pos:m.start()]
         if gap:
             for tok in gap.translate(_PUNCT_TABLE).lower().split():
@@ -122,7 +130,7 @@ def _zh_count(content: str, table, out: list[str] | None = None) -> tuple[int, i
                         out.append(tok)
         run = m.group()
         wc += len(run)
-        sc += _zh_match_run(run, table, out)
+        sc += _zh_match_run(run, table, out, max_len)
         pos = m.end()
     tail = content[pos:]
     if tail:
@@ -133,6 +141,27 @@ def _zh_count(content: str, table, out: list[str] | None = None) -> tuple[int, i
                 if out is not None:
                     out.append(tok)
     return wc, sc
+
+
+# per-table longest-entry bounds for the max-match variants, computed once
+_MAX_LEN = {c: max((len(w) for w in STOPWORDS.get(c, ())), default=1)
+            for c in ("zh", "ja", "th")}
+
+
+def _zh_count(content, table, out=None):
+    return _run_count(content, table, _CJK_RUN_RE, _MAX_LEN["zh"], out)
+
+
+def _ja_count(content, table, out=None):
+    """Japanese [canon: goose StopWordsKorean-style variant dispatch; no
+    StopWordsJapanese in the lineage — this is an extension]: kana+kanji
+    runs max-match segmented against the ja particle table."""
+    return _run_count(content, table, _JA_RUN_RE, _MAX_LEN["ja"], out)
+
+
+def _th_count(content, table, out=None):
+    """Thai (extension): Thai-script runs max-match segmented."""
+    return _run_count(content, table, _TH_RUN_RE, _MAX_LEN["th"], out)
 
 
 def _ko_count(content: str, table, out: list[str] | None = None) -> tuple[int, int]:
@@ -165,7 +194,8 @@ def _ar_count(content: str, table, out: list[str] | None = None) -> tuple[int, i
     return len(toks), sc
 
 
-_VARIANT_COUNTERS = {"zh": _zh_count, "ko": _ko_count, "ar": _ar_count}
+_VARIANT_COUNTERS = {"zh": _zh_count, "ko": _ko_count, "ar": _ar_count,
+                     "ja": _ja_count, "th": _th_count}
 
 
 def stopword_count_fast(content: str, lang: str | None = None) -> int:

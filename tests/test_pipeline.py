@@ -49,8 +49,8 @@ def test_null_html_is_empty_status():
 
 
 def test_lang_column_primary_meta_fallback():
-    # lang column unsupported (ja) + html lang=de → meta fallback applies
-    r = extract_one(_page(lang="de").encode(), "ja", "https://x.example/1")
+    # lang column unsupported (vi) + html lang=de → meta fallback applies
+    r = extract_one(_page(lang="de").encode(), "vi", "https://x.example/1")
     assert r["lang"] == "de"
     # lang column present and supported → wins over meta
     r = extract_one(_page(lang="de").encode(), "en", "https://x.example/1")
@@ -155,8 +155,8 @@ def test_movies_extraction():
 def test_lang_fallback_flag():
     # supported lang column → no fallback
     assert extract_one(_page().encode(), "en", "https://x")["lang_fallback"] is False
-    # ja column + de meta → fallback (meta path)
-    r = extract_one(_page(lang="de").encode(), "ja", "https://x")
+    # vi column + de meta → fallback (meta path)
+    r = extract_one(_page(lang="de").encode(), "vi", "https://x")
     assert r["lang"] == "de" and r["lang_fallback"] is True
     # null column, en meta… html lang="en" resolves via meta path → fallback
     r2 = extract_one(_page().encode(), None, "https://x")

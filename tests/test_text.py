@@ -31,7 +31,9 @@ def test_resolve_language():
     assert resolve_language("en") == "en"
     assert resolve_language("de-DE") == "de"
     assert resolve_language("zh") == "zh"  # segmentation variant (r3)
-    assert resolve_language("ja") == "en"  # no table → fallback
+    assert resolve_language("ja") == "ja"  # segmentation variant (r3)
+    assert resolve_language("th") == "th"  # segmentation variant (r3)
+    assert resolve_language("vi") == "en"  # no table → fallback
     assert resolve_language(None) == "en"
     assert resolve_language("") == "en"
 
@@ -71,10 +73,37 @@ def test_ar_diacritics_stripped():
     assert ws.stop_word_count == 2
 
 
+def test_ja_kana_kanji_max_match():
+    # particles ride inside one kana+kanji run; これ/は/の/です are table
+    # entries, greedy max-match finds them without a lexicon
+    ws = get_stopword_count("これは日本語のテストです", "ja")
+    assert "これ" in ws.stop_words and "は" in ws.stop_words
+    assert "の" in ws.stop_words and "です" in ws.stop_words
+    assert ws.stop_word_count >= 4
+    # word_count = run chars for a pure-Japanese run
+    assert ws.word_count == 12
+
+
+def test_ja_mixed_script():
+    ws = get_stopword_count("spark は高速な engine です", "ja")
+    assert "は" in ws.stop_words and "です" in ws.stop_words
+    assert ws.stop_word_count >= 3  # は + な + です
+
+
+def test_th_max_match():
+    # ที่/การ/ใน/เรา/ใช้ are table entries inside unspaced Thai runs
+    ws = get_stopword_count("นี่คือการทดสอบที่เราใช้ในงาน", "th")
+    assert "การ" in ws.stop_words and "ที่" in ws.stop_words
+    assert "ใน" in ws.stop_words
+    assert ws.stop_word_count >= 4
+
+
 def test_variant_fast_path_agrees():
     from gooselite.text import stopword_count_fast
     for lang, text in (("zh", "没有人知道这个故事的结局"),
                        ("ko", "학교에서 공부를 했다"),
-                       ("ar", "هَذَا كتاب مِنْ المكتبة")):
+                       ("ar", "هَذَا كتاب مِنْ المكتبة"),
+                       ("ja", "これは日本語のテストです"),
+                       ("th", "นี่คือการทดสอบที่เราใช้ในงาน")):
         assert (stopword_count_fast(text, lang)
                 == get_stopword_count(text, lang).stop_word_count)
