@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     from goose_spark import ann as A
     from goose_spark import components as CC
+    from goose_spark import imageops as IM
     from goose_spark import pdfops as P
     from goose_spark import queries as Q
     from goose_spark import textops as T
@@ -123,6 +124,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_simhash_pairs": T.q_simhash_pairs,              # rows-only
         "q_lang_id": T.q_lang_id,                          # rows-only
         "q_multimodal_stub": T.q_multimodal_stub,          # rows-only
+        # real PNG codec (r3): encode+decode inside Arrow batches; the
+        # decoded pixel rows are gated against a SQL-computable pattern
+        "q_image_decode": IM.q_image_decode,
         "q_ngram_jaccard": T.q_ngram_jaccard,
         "q_url_normalize": T.q_url_normalize,
         "q_gopher_rules": T.q_gopher_rules,
@@ -157,6 +161,7 @@ def oracle_sql() -> dict[str, str]:
     plans). q_ann_cosine_topk's oracle is parameterized by the collected
     query vector, so it is rendered against sf0.01 here.
     """
+    from goose_spark import imageops as IM
     from goose_spark import pdfops as PD
     from goose_spark import queries as Q
     from goose_spark import textops as T
@@ -189,6 +194,7 @@ def oracle_sql() -> dict[str, str]:
         "q_url_normalize": T.ORACLE_URL_NORMALIZE,
         "q_gopher_rules": T.ORACLE_GOPHER_RULES,
         "q_pdf_extract": PD.ORACLE_PDF_EXTRACT,
+        "q_image_decode": IM.ORACLE_IMAGE_DECODE,
     }
     from goose_spark import ann as A
     from goose_spark import streaming as S
