@@ -85,8 +85,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     from goose_spark import ann as A
     from goose_spark import components as CC
+    from goose_spark import audioops as AU
     from goose_spark import imageops as IM
     from goose_spark import pdfops as P
+    from goose_spark import warcops as W
     from goose_spark import queries as Q
     from goose_spark import textops as T
 
@@ -127,6 +129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # real PNG codec (r3): encode+decode inside Arrow batches; the
         # decoded pixel rows are gated against a SQL-computable pattern
         "q_image_decode": IM.q_image_decode,
+        "q_audio_features": AU.q_audio_features,
         "q_ngram_jaccard": T.q_ngram_jaccard,
         "q_url_normalize": T.q_url_normalize,
         "q_gopher_rules": T.q_gopher_rules,
@@ -134,6 +137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # render documents.text as real PDFs in-batch, parse back with
         # positional layout reconstruction; oracle = normalized source
         "q_pdf_extract": P.q_pdf_extract,
+        "q_warc_roundtrip": W.q_warc_roundtrip,
         # similarity search / embedding ops
         "q_ann_cosine_topk": A.q_ann_cosine_topk,
         "q_ann_lsh_buckets": A.q_ann_lsh_buckets,          # rows-only
@@ -161,8 +165,10 @@ def oracle_sql() -> dict[str, str]:
     plans). q_ann_cosine_topk's oracle is parameterized by the collected
     query vector, so it is rendered against sf0.01 here.
     """
+    from goose_spark import audioops as AU
     from goose_spark import imageops as IM
     from goose_spark import pdfops as PD
+    from goose_spark import warcops as W
     from goose_spark import queries as Q
     from goose_spark import textops as T
 
@@ -194,7 +200,9 @@ def oracle_sql() -> dict[str, str]:
         "q_url_normalize": T.ORACLE_URL_NORMALIZE,
         "q_gopher_rules": T.ORACLE_GOPHER_RULES,
         "q_pdf_extract": PD.ORACLE_PDF_EXTRACT,
+        "q_warc_roundtrip": W.ORACLE_WARC_ROUNDTRIP,
         "q_image_decode": IM.ORACLE_IMAGE_DECODE,
+        "q_audio_features": AU.ORACLE_AUDIO_FEATURES,
     }
     from goose_spark import ann as A
     from goose_spark import streaming as S

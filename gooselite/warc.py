@@ -1,0 +1,158 @@
+"""From-scratch WARC/1.0 writer + reader (the Common-Crawl container).
+
+The north rule's input is an Iceberg table of Common-Crawl-style pages;
+upstream of that table sits the crawl's native interchange format —
+WARC: concatenated records, each a header block (CRLF lines, terminated
+by a blank line) plus a Content-Length-framed body, records separated
+by CRLF CRLF, and — in Common Crawl's convention — each record
+compressed as its *own gzip member* so readers can split files on
+member boundaries without decompressing the whole archive.
+
+This module implements that framing from the spec: the writer emits
+warcinfo / request / response records (response bodies are full HTTP
+messages), and the reader walks gzip members via
+``zlib.decompressobj(wbits=31)`` + ``unused_data`` (also accepting
+uncompressed streams), parses record headers case-insensitively,
+frames bodies by Content-Length, and splits HTTP headers from payloads.
+`read_warc_safe` is total over hostile bytes (fuzz-verified in
+tests/test_warc.py).
+"""
+from __future__ import annotations
+
+import zlib
+from typing import List, NamedTuple, Optional
+
+_CRLF = b"\r\n"
+
+
+class WarcRecord(NamedTuple):
+    rec_type: str          # 'warcinfo' | 'request' | 'response' | ...
+    url: Optional[str]     # WARC-Target-URI if present
+    date: Optional[str]    # WARC-Date if present
+    http_status: Optional[int]  # for HTTP-message bodies
+    payload: bytes         # HTTP body for request/response; raw block else
+
+
+def _record_bytes(headers: List[tuple], block: bytes) -> bytes:
+    out = bytearray(b"WARC/1.0" + _CRLF)
+    for k, v in headers:
+        out += f"{k}: {v}".encode() + _CRLF
+    out += f"Content-Length: {len(block)}".encode() + _CRLF + _CRLF
+    out += block + _CRLF + _CRLF
+    return bytes(out)
+
+
+def _gzip_member(raw: bytes) -> bytes:
+    co = zlib.compressobj(6, zlib.DEFLATED, 31)  # wbits 31 = gzip wrapper
+    return co.compress(raw) + co.flush()
+
+
+def write_warc(pages, warc_date: str = "2026-01-01T00:00:00Z",
+               gzip_records: bool = True, with_warcinfo: bool = True,
+               with_requests: bool = True) -> bytes:
+    """Serialize (url, payload_bytes) pairs as a WARC file.  Response
+    bodies are full HTTP/1.1 messages; optional warcinfo and request
+    records are interleaved so readers must dispatch on WARC-Type."""
+    records: List[bytes] = []
+    if with_warcinfo:
+        info = b"software: gooselite-warc/1.0\r\nformat: WARC File Format 1.0\r\n"
+        records.append(_record_bytes(
+            [("WARC-Type", "warcinfo"), ("WARC-Date", warc_date),
+             ("Content-Type", "application/warc-fields")], info))
+    for url, payload in pages:
+        if with_requests:
+            req = (f"GET {url} HTTP/1.1\r\nHost: example.com\r\n\r\n").encode()
+            records.append(_record_bytes(
+                [("WARC-Type", "request"), ("WARC-Date", warc_date),
+                 ("WARC-Target-URI", url),
+                 ("Content-Type", "application/http; msgtype=request")], req))
+        http = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n"
+                + f"Content-Length: {len(payload)}".encode() + _CRLF + _CRLF
+                + payload)
+        records.append(_record_bytes(
+            [("WARC-Type", "response"), ("WARC-Date", warc_date),
+             ("WARC-Target-URI", url),
+             ("Content-Type", "application/http; msgtype=response")], http))
+    if gzip_records:
+        return b"".join(_gzip_member(r) for r in records)
+    return b"".join(records)
+
+
+def _inflate_members(b: bytes) -> bytes:
+    """Concatenate all gzip members; pass through uncompressed input."""
+    if b[:2] != b"\x1f\x8b":
+        return b
+    out, rest = bytearray(), b
+    while rest[:2] == b"\x1f\x8b":
+        d = zlib.decompressobj(31)
+        out += d.decompress(rest)
+        out += d.flush()
+        if not d.eof:
+            raise ValueError("truncated gzip member")
+        rest = d.unused_data
+    if rest:
+        raise ValueError("trailing garbage after gzip members")
+    return bytes(out)
+
+
+def read_warc(b: bytes) -> List[WarcRecord]:
+    """Parse every record in a WARC byte string (gzipped-per-record or
+    plain).  Raises ValueError on framing violations."""
+    raw = _inflate_members(bytes(b))
+    records: List[WarcRecord] = []
+    pos = 0
+    while pos < len(raw):
+        if raw[pos:pos + 2] == _CRLF:  # tolerate stray separators
+            pos += 2
+            continue
+        head_end = raw.find(_CRLF + _CRLF, pos)
+        if head_end < 0:
+            raise ValueError("unterminated record header")
+        head_lines = raw[pos:head_end].split(_CRLF)
+        if not head_lines[0].startswith(b"WARC/"):
+            raise ValueError(f"bad record magic at {pos}")
+        fields = {}
+        for line in head_lines[1:]:
+            k, _, v = line.partition(b":")
+            fields[k.strip().lower().decode("latin-1")] = \
+                v.strip().decode("latin-1")
+        try:
+            length = int(fields["content-length"])
+        except (KeyError, ValueError):
+            raise ValueError("missing/invalid Content-Length") from None
+        body_at = head_end + 4
+        if body_at + length > len(raw):
+            raise ValueError("record body truncated")
+        block = raw[body_at:body_at + length]
+        rec_type = fields.get("warc-type", "unknown")
+        status, payload = None, block
+        first_line = block.split(_CRLF, 1)[0]
+        # HTTP message: status line (HTTP/1.1 200 OK) or request line
+        # (GET <uri> HTTP/1.1) — version token leads or trails.
+        is_http = first_line[:5] == b"HTTP/" or b" HTTP/" in first_line
+        if rec_type in ("request", "response") and is_http:
+            sep = block.find(_CRLF + _CRLF)
+            if sep >= 0:
+                payload = block[sep + 4:]
+                first = first_line.split(b" ")
+                if rec_type == "response" and len(first) >= 2 \
+                        and first[1].isdigit():
+                    status = int(first[1])
+        records.append(WarcRecord(rec_type, fields.get("warc-target-uri"),
+                                  fields.get("warc-date"), status, payload))
+        pos = body_at + length
+        if raw[pos:pos + 4] == _CRLF + _CRLF:
+            pos += 4
+        elif pos != len(raw):
+            raise ValueError("missing record separator")
+    return records
+
+
+def read_warc_safe(b) -> Optional[List[WarcRecord]]:
+    """Total parse: None on anything that is not a well-formed WARC."""
+    try:
+        if not isinstance(b, (bytes, bytearray)):
+            return None
+        return read_warc(bytes(b))
+    except Exception:
+        return None

@@ -1,0 +1,98 @@
+"""WARC framing (gooselite.warc) + the q_warc_roundtrip probe.
+Cross-engine value equality vs DuckDB is covered by
+test_relational_probes."""
+
+import zlib
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from gooselite.warc import read_warc, read_warc_safe, write_warc
+
+PAGES = [
+    ("https://example.com/a", b"<html><p>alpha</p></html>"),
+    ("https://example.com/b", "café 中文".encode("utf-8")),
+    ("https://example.com/empty", b""),
+]
+
+
+@pytest.mark.parametrize("gz", [True, False])
+def test_roundtrip_with_warcinfo_and_requests(gz):
+    blob = write_warc(PAGES, gzip_records=gz)
+    recs = read_warc(blob)
+    assert [r.rec_type for r in recs] == \
+        ["warcinfo"] + ["request", "response"] * len(PAGES)
+    responses = [r for r in recs if r.rec_type == "response"]
+    assert [(r.url, r.payload) for r in responses] == PAGES
+    assert all(r.http_status == 200 for r in responses)
+    assert all(r.date == "2026-01-01T00:00:00Z" for r in recs)
+
+
+def test_gzip_per_record_members_are_independent():
+    blob = write_warc(PAGES, gzip_records=True)
+    # Common Crawl contract: each record its own member → N magics
+    assert blob.count(b"\x1f\x8b\x08") == 1 + 2 * len(PAGES)
+    # first member alone must decompress to exactly the warcinfo record
+    d = zlib.decompressobj(31)
+    first = d.decompress(blob) + d.flush()
+    assert first.startswith(b"WARC/1.0\r\n") and b"warcinfo" in first
+
+
+def test_payload_with_crlf_crlf_inside_body_frames_by_length():
+    tricky = b"part1\r\n\r\npart2\r\n\r\n"
+    recs = read_warc(write_warc([("https://t", tricky)], gzip_records=False,
+                                with_warcinfo=False, with_requests=False))
+    assert len(recs) == 1 and recs[0].payload == tricky
+
+
+def test_request_records_carry_http_request_payload():
+    recs = read_warc(write_warc(PAGES[:1], gzip_records=False))
+    req = [r for r in recs if r.rec_type == "request"][0]
+    assert req.payload == b"" and req.url == PAGES[0][0]
+    assert req.http_status is None
+
+
+def test_truncated_gzip_member_rejected():
+    blob = write_warc(PAGES, gzip_records=True)
+    assert read_warc_safe(blob[: len(blob) - 5]) is None
+
+
+def test_truncated_plain_body_rejected():
+    blob = write_warc(PAGES, gzip_records=False)
+    assert read_warc_safe(blob[: len(blob) - 5]) is None
+
+
+def test_bad_magic_and_missing_length_rejected():
+    assert read_warc_safe(b"HARC/1.0\r\nContent-Length: 0\r\n\r\n\r\n\r\n") is None
+    assert read_warc_safe(b"WARC/1.0\r\nWARC-Type: response\r\n\r\nx") is None
+
+
+def test_header_names_case_insensitive():
+    raw = (b"WARC/1.0\r\nwarc-type: response\r\n"
+           b"WARC-TARGET-URI: https://x\r\ncontent-length: 3\r\n\r\n"
+           b"abc\r\n\r\n")
+    recs = read_warc(raw)
+    assert recs[0].url == "https://x" and recs[0].payload == b"abc"
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(max_size=300))
+def test_read_warc_safe_total_over_arbitrary_bytes(b):
+    got = read_warc_safe(b)
+    assert got is None or isinstance(got, list)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(0, 2**31), st.booleans(), st.data())
+def test_read_warc_safe_total_over_mutated_valid_files(seed, gz, data):
+    import random
+
+    rnd = random.Random(seed)
+    pages = [(f"https://m/{i}", bytes(rnd.randrange(256)
+             for _ in range(rnd.randint(0, 30)))) for i in range(3)]
+    blob = bytearray(write_warc(pages, gzip_records=gz))
+    for _ in range(rnd.randint(1, 6)):
+        blob[data.draw(st.integers(0, len(blob) - 1))] = \
+            data.draw(st.integers(0, 255))
+    read_warc_safe(bytes(blob))  # must not raise; value unspecified
