@@ -86,6 +86,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from goose_spark import ann as A
     from goose_spark import components as CC
     from goose_spark import audioops as AU
+    from goose_spark import filterops as FL
     from goose_spark import imageops as IM
     from goose_spark import pdfops as P
     from goose_spark import warcops as W
@@ -138,6 +139,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # positional layout reconstruction; oracle = normalized source
         "q_pdf_extract": P.q_pdf_extract,
         "q_warc_roundtrip": W.q_warc_roundtrip,
+        # full crawl chain: page → WARC container → parse → extraction,
+        # gated against a SQL-recomputable known-extractable page shape
+        "q_warc_extract": W.q_warc_extract,
+        # corpus filters: PII scrub, repetition signals, domain capping
+        "q_pii_redact": FL.q_pii_redact,
+        "q_repetition_filter": FL.q_repetition_filter,
+        "q_domain_cap": FL.q_domain_cap,
         # similarity search / embedding ops
         "q_ann_cosine_topk": A.q_ann_cosine_topk,
         "q_ann_lsh_buckets": A.q_ann_lsh_buckets,          # rows-only
@@ -166,6 +174,7 @@ def oracle_sql() -> dict[str, str]:
     query vector, so it is rendered against sf0.01 here.
     """
     from goose_spark import audioops as AU
+    from goose_spark import filterops as FL
     from goose_spark import imageops as IM
     from goose_spark import pdfops as PD
     from goose_spark import warcops as W
@@ -201,6 +210,10 @@ def oracle_sql() -> dict[str, str]:
         "q_gopher_rules": T.ORACLE_GOPHER_RULES,
         "q_pdf_extract": PD.ORACLE_PDF_EXTRACT,
         "q_warc_roundtrip": W.ORACLE_WARC_ROUNDTRIP,
+        "q_warc_extract": W.ORACLE_WARC_EXTRACT,
+        "q_pii_redact": FL.ORACLE_PII_REDACT,
+        "q_repetition_filter": FL.ORACLE_REPETITION_FILTER,
+        "q_domain_cap": FL.ORACLE_DOMAIN_CAP,
         "q_image_decode": IM.ORACLE_IMAGE_DECODE,
         "q_audio_features": AU.ORACLE_AUDIO_FEATURES,
     }

@@ -1,0 +1,211 @@
+"""Corpus-filtering operators a CC-scale training-data pipeline runs
+between extraction and dedup: PII redaction, repetition-based quality
+signals (the second half of the Gopher rule set — `textops.q_gopher_rules`
+covers the length/symbol/bullet half), and per-domain frequency capping.
+
+Design rules follow textops.py: every operator is pure
+``pyspark.sql.functions`` (whole-stage codegen, zero Python in the hot
+path); the documents table carries no url/PII columns, so — like
+`textops.q_url_normalize` — the inputs are synthesized deterministically
+from doc_id by an expression template shared verbatim with the DuckDB
+oracle (``{S}`` = STRING in Spark, VARCHAR in DuckDB), keeping every
+probe value-hash-checkable.
+
+Scale shapes (10^12 rows):
+- PII redaction: scan → project, NO shuffle; regex chain is codegen.
+- repetition signals: the distributed-wordcount shape — explode →
+  partial-agg (map-side combine on (doc_id, token)) → final agg on
+  doc_id; the join of word-stats with bigram-stats is doc_id-keyed and
+  co-partitioned by the preceding aggregations.
+- domain cap: ONE shuffle on domain + in-partition sort. Hot domains
+  (a wordpress.com at CC scale) skew this window; the documented
+  mitigation is a pre-cap — per-input-partition top-(CAP) on
+  (domain, quality) before the shuffle drops all but O(CAP × tasks)
+  rows per domain — which AQE's skew-join splitting cannot do for
+  windows, so it is the pipeline's job.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from goose_spark.queries import load
+
+# ------------------------------------------------------------ PII redact --
+# Deterministic PII decoration keyed on doc_id (corpus text carries none):
+# ~1/3 of docs get an email, ~1/4 a phone, ~1/5 an IPv4, with overlaps.
+# The patterns avoid every Java-vs-RE2 divergence (no backrefs, no
+# lookaround, no \b) so Spark and DuckDB match identical spans.
+_PII_SYNTH_T = (
+    "concat(text,"
+    " CASE WHEN doc_id % 3 = 0 THEN concat(' Contact user',"
+    "   CAST(doc_id AS {S}), '@mail', CAST(doc_id % 7 AS {S}),"
+    "   '.example for details.') ELSE '' END,"
+    " CASE WHEN doc_id % 4 = 1 THEN concat(' Call +1-555-',"
+    "   lpad(CAST(doc_id % 10000 AS {S}), 4, '0'), ' now.') ELSE '' END,"
+    " CASE WHEN doc_id % 5 = 2 THEN concat(' Served by 10.',"
+    "   CAST(doc_id % 250 AS {S}), '.0.', CAST(doc_id % 200 AS {S}),"
+    "   ' backend.') ELSE '' END)"
+)
+
+# (pattern, replacement) applied in order; counting happens pre-redaction.
+_PII_RULES = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\+\d{1,2}-\d{3}-\d{4}", "<PHONE>"),
+    ("ip", r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}", "<IP>"),
+)
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over synthesized doc_id-keyed decorations: per-category
+    match counts + md5 of the fully redacted text. Scan → project, no
+    shuffle; the regex chain is one codegen stage."""
+    d = load(spark, sf_dir, "documents")
+    t = F.expr(_PII_SYNTH_T.format(S="STRING"))
+    cols = [F.col("doc_id")]
+    red = t
+    for name, pat, repl in _PII_RULES:
+        cols.append(
+            F.size(F.regexp_extract_all(t, F.lit(pat), F.lit(0)))
+            .cast("long").alias(f"n_{name}"))
+        red = F.regexp_replace(red, pat, repl)
+    cols.append(F.md5(red.cast("binary")).alias("redacted_md5"))
+    return d.select(*cols)
+
+
+def _oracle_pii() -> str:
+    t = _PII_SYNTH_T.format(S="VARCHAR")
+    counts, red = [], t
+    for name, pat, repl in _PII_RULES:
+        p = pat.replace("'", "''")
+        counts.append(
+            f"CAST(len(regexp_extract_all({t}, '{p}')) AS BIGINT) AS n_{name}")
+        red = f"regexp_replace({red}, '{p}', '{repl}', 'g')"
+    return (f"SELECT doc_id, {', '.join(counts)}, md5({red}) AS redacted_md5\n"
+            f"FROM documents")
+
+
+ORACLE_PII_REDACT = _oracle_pii()
+
+
+# ---------------------------------------------------- repetition signals --
+# Gopher's repetition-removal half: fraction of occurrences taken by the
+# most frequent word / bigram, and the distinct-word fraction. Thresholds
+# are pipeline policy, centralized here (the published rules use
+# per-n-gram character fractions; occurrence fractions carry the same
+# signal and stay integer-exact until the final rounded division).
+REP_MAX_TOP_WORD_FRAC = 0.20
+REP_MAX_TOP_BIGRAM_FRAC = 0.18
+REP_MIN_DISTINCT_FRAC = 0.30
+
+_WORDS = "split(lower(trim(text)), '\\\\s+')"
+# Bind the words array ONCE via the single-element-array transform trick:
+# Spark's higher-order lambdas re-evaluate inlined subexpressions per
+# element (no CSE), so referencing split(...) twice per bigram would be
+# O(n) splits per row.
+_BIGRAMS = (
+    "flatten(transform(array(" + _WORDS + "), w -> CASE"
+    " WHEN size(w) < 2 THEN array()"
+    " ELSE transform(sequence(1, size(w) - 1),"
+    "      i -> concat(element_at(w, i), ' ', element_at(w, i + 1))) END))"
+)
+
+
+def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality gate: distributed wordcount (explode →
+    partial agg → per-doc max) for words and bigrams, joined on doc_id."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    wc = (d.select("doc_id", F.explode(F.expr(_WORDS)).alias("w"))
+          .groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c")))
+    ws = wc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_words"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("c").alias("top_w"))
+    bc = (d.select("doc_id", F.explode(F.expr(_BIGRAMS)).alias("b"))
+          .groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("c")))
+    bs = bc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_bigrams"), F.max("c").alias("top_b"))
+    j = ws.join(bs, "doc_id")
+    top_w_frac = F.round(F.col("top_w") / F.col("n_words"), 6)
+    top_b_frac = F.round(F.col("top_b") / F.col("n_bigrams"), 6)
+    distinct_frac = F.round(F.col("n_distinct") / F.col("n_words"), 6)
+    passes = ((top_w_frac <= REP_MAX_TOP_WORD_FRAC)
+              & (top_b_frac <= REP_MAX_TOP_BIGRAM_FRAC)
+              & (distinct_frac >= REP_MIN_DISTINCT_FRAC))
+    return j.select(
+        "doc_id", "n_words", "n_distinct",
+        top_w_frac.alias("top_word_frac"),
+        top_b_frac.alias("top_bigram_frac"),
+        distinct_frac.alias("distinct_frac"),
+        passes.alias("passes"))
+
+
+ORACLE_REPETITION_FILTER = f"""
+WITH w AS (
+  SELECT doc_id,
+         unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+  FROM documents),
+wc AS (SELECT doc_id, w, COUNT(*) AS c FROM w GROUP BY doc_id, w),
+ws AS (SELECT doc_id, SUM(c) AS n_words, COUNT(*) AS n_distinct,
+              MAX(c) AS top_w
+       FROM wc GROUP BY doc_id),
+toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS l
+         FROM documents),
+b AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(l) < 2 THEN []
+                ELSE list_transform(generate_series(1, len(l) - 1),
+                                    i -> l[i] || ' ' || l[i + 1]) END) AS b
+  FROM toks),
+bc AS (SELECT doc_id, b, COUNT(*) AS c FROM b GROUP BY doc_id, b),
+bs AS (SELECT doc_id, SUM(c) AS n_bigrams, MAX(c) AS top_b
+       FROM bc GROUP BY doc_id)
+SELECT ws.doc_id, n_words, n_distinct,
+       ROUND(CAST(top_w AS DOUBLE) / n_words, 6) AS top_word_frac,
+       ROUND(CAST(top_b AS DOUBLE) / n_bigrams, 6) AS top_bigram_frac,
+       ROUND(CAST(n_distinct AS DOUBLE) / n_words, 6) AS distinct_frac,
+       (ROUND(CAST(top_w AS DOUBLE) / n_words, 6) <= {REP_MAX_TOP_WORD_FRAC}
+        AND ROUND(CAST(top_b AS DOUBLE) / n_bigrams, 6)
+            <= {REP_MAX_TOP_BIGRAM_FRAC}
+        AND ROUND(CAST(n_distinct AS DOUBLE) / n_words, 6)
+            >= {REP_MIN_DISTINCT_FRAC}) AS passes
+FROM ws JOIN bs ON ws.doc_id = bs.doc_id
+"""
+
+
+# --------------------------------------------------------- domain capping --
+_DOMAIN_SYNTH_T = "concat('site', CAST(doc_id % 37 AS {S}), '.example')"
+DOMAIN_CAP = 5  # keep the CAP highest-quality docs per domain
+
+
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain frequency cap: rank docs within their (synthesized)
+    domain by quality proxy (n_chars desc, doc_id tie-break) and keep the
+    top DOMAIN_CAP. One shuffle on domain; see module docstring for the
+    hot-domain pre-cap at CC scale."""
+    d = load(spark, sf_dir, "documents")
+    dom = F.expr(_DOMAIN_SYNTH_T.format(S="STRING"))
+    win = Window.partitionBy("domain").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc())
+    return (d.select("doc_id", "n_chars", dom.alias("domain"))
+            .withColumn("rnk", F.row_number().over(win))
+            .withColumn("domain_total",
+                        F.count(F.lit(1)).over(Window.partitionBy("domain")))
+            .select("doc_id", "domain", "rnk", "domain_total",
+                    (F.col("rnk") <= DOMAIN_CAP).alias("kept")))
+
+
+ORACLE_DOMAIN_CAP = f"""
+WITH t AS (
+  SELECT doc_id, {_DOMAIN_SYNTH_T.format(S='VARCHAR')} AS domain,
+         ROW_NUMBER() OVER (PARTITION BY {_DOMAIN_SYNTH_T.format(S='VARCHAR')}
+                            ORDER BY n_chars DESC, doc_id) AS rnk,
+         COUNT(*) OVER (PARTITION BY {_DOMAIN_SYNTH_T.format(S='VARCHAR')})
+           AS domain_total
+  FROM documents)
+SELECT doc_id, domain, CAST(rnk AS BIGINT) AS rnk,
+       CAST(domain_total AS BIGINT) AS domain_total,
+       rnk <= {DOMAIN_CAP} AS kept
+FROM t
+"""

@@ -67,3 +67,75 @@ SELECT doc_id,
        md5(text) AS payload_md5
 FROM documents
 """
+
+
+# ------------------------------------------------- WARC → article extract --
+# The end-to-end crawl chain: deterministic article page per document →
+# WARC container (gzip members, warcinfo/request records interleaved) →
+# WARC parse → full gooselite extraction on the response payload. The
+# page is a known-extractable shape (one <article><p> holding a
+# stopword-rich sentinel + the document text, plus a pure-link nav that
+# link-density scoring must reject), so the extracted title and cleaned
+# text are SQL-recomputable from the source row — the hash gate covers
+# the WHOLE chain: WARC framing, charset decode, DOM parse, boilerplate
+# rejection, top-node scoring and formatter whitespace normalization.
+_WARC_SENTINEL = ("This is the article body and it has the words that "
+                  "the scorer counts for all of the languages involved.")
+
+
+def _page_html(doc_id: int, text: str) -> bytes:
+    import html as _h
+
+    body = _h.escape(f"{_WARC_SENTINEL} {text}".strip())
+    return (
+        f"<html><head><meta charset=\"utf-8\"><title>Doc {doc_id}</title>"
+        f"</head><body><div><a href=\"/\">Home</a> <a href=\"/a\">About</a>"
+        f"</div><article><p>{body}</p></article></body></html>"
+    ).encode("utf-8")
+
+
+def _extract_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from gooselite import extract_one
+    from gooselite.warc import read_warc, write_warc
+
+    for batch in it:
+        if not len(batch):
+            continue
+        pages = [(f"https://example.com/doc/{int(i)}", _page_html(int(i), t or ""))
+                 for i, t in zip(batch["doc_id"], batch["text"])]
+        blob = write_warc(pages, gzip_records=True)
+        out = {"doc_id": [], "title": [], "text_norm": [], "status": []}
+        for rec in read_warc(blob):
+            if rec.rec_type != "response":
+                continue
+            doc_id = int(rec.url.rsplit("/", 1)[1])
+            # lang is pinned 'en': the corpus seed text is English-shaped
+            # regardless of the documents.lang metadata column, and the
+            # language-aware table path is pinned by the L1/L2 fixture
+            # suites — this probe gates the container→extraction CHAIN.
+            art = extract_one(rec.payload, "en", rec.url)
+            out["doc_id"].append(doc_id)
+            out["title"].append(art["title"])
+            out["text_norm"].append(art["cleaned_text"])
+            out["status"].append(art["status"])
+        out["doc_id"] = pd.Series(out["doc_id"], dtype="int64")
+        yield pd.DataFrame(out)
+
+
+def q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-chain integration: page synth → WARC → parse → extract, one
+    shuffle-free mapInPandas pass."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.mapInPandas(
+        _extract_batches,
+        schema="doc_id long, title string, text_norm string, status string")
+
+
+ORACLE_WARC_EXTRACT = f"""
+SELECT doc_id,
+       'Doc ' || doc_id AS title,
+       trim('{_WARC_SENTINEL} ' ||
+            trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS text_norm,
+       'ok' AS status
+FROM documents
+"""

@@ -110,3 +110,48 @@ def test_url_normalize_codegen(spark):
     assert "EvalPython" not in plan
     assert "* Project" in tree  # regex chain rides whole-stage codegen
     assert "Exchange" not in tree  # embarrassingly parallel: zero shuffles
+
+
+def test_pii_redact_codegen_no_shuffle(spark):
+    from goose_spark import filterops as FL
+
+    plan = _plan(FL.q_pii_redact(spark, SF))
+    tree = plan.split("\n\n")[0]
+    assert "EvalPython" not in plan      # regex chain is all JVM
+    assert "Exchange" not in tree        # scan → project, zero shuffles
+    assert "* Project" in tree           # whole-stage codegen
+    # only the columns the op needs reach the scan
+    read_schema = plan.split("ReadSchema")[1][:300]
+    assert "doc_id" in read_schema and "text" in read_schema
+    assert "n_chars" not in read_schema
+
+
+def test_repetition_filter_partial_aggs(spark):
+    from goose_spark import filterops as FL
+
+    plan = _plan(FL.q_repetition_filter(spark, SF))
+    assert "EvalPython" not in plan
+    # distributed-wordcount shape: map-side combine before every shuffle
+    assert plan.count("partial_count") + plan.count("partial_sum") >= 2
+    assert "HashAggregate" in plan
+
+
+def test_domain_cap_single_shuffle(spark):
+    from goose_spark import filterops as FL
+
+    plan = _plan(FL.q_domain_cap(spark, SF))
+    tree = plan.split("\n\n")[0]
+    assert "EvalPython" not in plan
+    # both windows share the ONE hashpartitioning(domain) exchange
+    assert tree.count("Exchange") == 1
+    assert "Window" in plan
+
+
+def test_warc_extract_single_python_stage(spark):
+    from goose_spark import warcops as W
+
+    plan = _plan(W.q_warc_extract(spark, SF))
+    tree = plan.split("\n\n")[0]
+    assert tree.count("MapInPandas") == 1
+    assert "BatchEvalPython" not in plan
+    assert "Exchange" not in tree        # linear chain, zero shuffles
