@@ -117,7 +117,7 @@ def main() -> None:
     for name in ("q_hash_agg", "q_window_dedupe", "q_equi_join_3way", "q_topk",
                  "q_dedup_exact", "q_token_count", "q_fingerprint",
                  "q_minhash_pairs", "q_simhash", "q_ann_cosine_topk",
-                 "q_pdf_extract", "q_image_decode"):
+                 "q_pdf_extract", "q_image_decode", "q_repetition_filter"):
         best = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()
