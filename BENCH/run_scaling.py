@@ -95,7 +95,21 @@ print("RESULT " + json.dumps({{"cpus": W, "sec": round(dt, 2), "docs": done}}))
 """
 
 
-def run_mp_level(cpus: int, pages_path: str) -> dict:
+def _taskset(cpus: int, pin: bool) -> list:
+    """CPU-affinity prefix: pin an N-wide level to vCPUs 0..N-1.
+
+    A real cluster executor owns N dedicated cores (YARN/K8s cgroup
+    cpuset); unpinned, Spark's surplus threads (JVM GC, netty, shuffle)
+    spill onto vCPUs 16-31, whose fractional host backing makes the
+    WIDE level collapse whenever the host degrades them (measured in
+    the same epoch: unpinned local[16] 57-103 s vs pinned 22.5 s —
+    5000 docs, identical code). Pinning measures the job at N honest
+    cores instead of the host's SMT topology; applied symmetrically to
+    the job, the mp ceiling, and the hw burn."""
+    return ["taskset", "-c", f"0-{cpus - 1}"] if pin else []
+
+
+def run_mp_level(cpus: int, pages_path: str, pin: bool = True) -> dict:
     """Zero-coordination multiprocessing ceiling: the SAME extraction
     workload (gooselite.extract_one over the same corpus), no Spark, no
     shuffle, no Arrow IPC — W forked workers over md5-striped shards.
@@ -106,18 +120,18 @@ def run_mp_level(cpus: int, pages_path: str) -> dict:
     per-socket DRAM contention does not dilute with executor count, it
     is constant per executor)."""
     code = MP_CHILD.format(repo=REPO, cpus=cpus, pages_path=pages_path)
-    proc = subprocess.run([sys.executable, "-c", code], capture_output=True,
-                          text=True, timeout=3600)
+    proc = subprocess.run(_taskset(cpus, pin) + [sys.executable, "-c", code],
+                          capture_output=True, text=True, timeout=3600)
     for line in proc.stdout.splitlines():
         if line.startswith("RESULT "):
             return json.loads(line[len("RESULT "):])
     raise RuntimeError(f"mp level {cpus} failed:\n{proc.stdout[-2000:]}\n{proc.stderr[-4000:]}")
 
 
-def run_level(cpus: int, pages_path: str) -> dict:
+def run_level(cpus: int, pages_path: str, pin: bool = True) -> dict:
     code = CHILD.format(repo=REPO, cpus=cpus, pages_path=pages_path)
-    proc = subprocess.run([sys.executable, "-c", code], capture_output=True,
-                          text=True, timeout=3600)
+    proc = subprocess.run(_taskset(cpus, pin) + [sys.executable, "-c", code],
+                          capture_output=True, text=True, timeout=3600)
     for line in proc.stdout.splitlines():
         if line.startswith("RESULT "):
             return json.loads(line[len("RESULT "):])
@@ -133,7 +147,8 @@ def _burn_fixed(n: int) -> float:
     return _t.perf_counter() - t0
 
 
-def measure_hw_level(w: int, total: int = 1_600_000_000) -> float:
+def measure_hw_level(w: int, total: int = 1_600_000_000,
+                     pin: bool = True) -> float:
     """One hardware-ceiling sample at width w: a fixed register-loop load
     split over w forked processes (no memory traffic, no Spark). Run
     ADJACENT to a job run at the same width so the pair shares the same
@@ -141,10 +156,18 @@ def measure_hw_level(w: int, total: int = 1_600_000_000) -> float:
     import multiprocessing as mp
     import time as _t
 
-    t0 = _t.perf_counter()
-    with mp.get_context("fork").Pool(w) as pool:
-        pool.map(_burn_fixed, [total // w] * w)
-    return round(_t.perf_counter() - t0, 2)
+    prev = None
+    if pin:
+        prev = os.sched_getaffinity(0)
+        os.sched_setaffinity(0, set(range(w)))  # fork children inherit
+    try:
+        t0 = _t.perf_counter()
+        with mp.get_context("fork").Pool(w) as pool:
+            pool.map(_burn_fixed, [total // w] * w)
+        return round(_t.perf_counter() - t0, 2)
+    finally:
+        if prev is not None:
+            os.sched_setaffinity(0, prev)
 
 
 def measure_hw_ceiling(levels: list[int], total: int = 1_600_000_000) -> dict:
@@ -183,11 +206,25 @@ def main() -> None:
     # fractionally backed (BENCH/BASELINE.md), so 8->32 measures host
     # overcommit, not the job
     ap.add_argument("--levels", default="4,16")
+    ap.add_argument("--no-pin", dest="pin", action="store_false",
+                    help="disable per-level CPU pinning (taskset 0..N-1). "
+                         "Pinning is on by default: it models a real "
+                         "executor's dedicated-core cgroup and keeps the "
+                         "wide level off the fractionally-backed vCPUs "
+                         "16-31 (see _taskset docstring)")
     ap.add_argument("--cooldown", type=int, default=0,
-                    help="idle seconds before each run — this host applies a "
-                         "slow (multi-minute) frequency/steal governor under "
-                         "sustained load; cooldowns let each run start from "
-                         "the same unthrottled state")
+                    help="idle seconds before each repetition — this host "
+                         "applies a slow (multi-minute) frequency/steal "
+                         "governor under sustained load; cooldowns let each "
+                         "repetition start from the same unthrottled state")
+    ap.add_argument("--intra-cooldown", type=int, default=0,
+                    help="idle seconds before EACH measured run inside a "
+                         "repetition. Without it the repetition's sequence "
+                         "(hw, mp, then job) accumulates ~2 min of sustained "
+                         "load before the LAST and WIDEST job run, which the "
+                         "governor then penalizes asymmetrically (measured: "
+                         "job[16] 52.4s at the end of a rep vs 22.5s from "
+                         "cold, same epoch, same pinned code)")
     args = ap.parse_args()
 
     sys.path.insert(0, REPO)
@@ -220,13 +257,17 @@ def main() -> None:
         if args.cooldown:
             _time.sleep(args.cooldown)
         for level in levels:
-            hw_samples[level].append(measure_hw_level(level))
+            hw_samples[level].append(measure_hw_level(level, pin=args.pin))
         for level in levels:
-            mp = run_mp_level(level, pages_path)
+            if args.intra_cooldown:
+                _time.sleep(args.intra_cooldown)
+            mp = run_mp_level(level, pages_path, pin=args.pin)
             mp_samples[level].append(mp["sec"])
             print(f"# mp[{level}] run {r + 1}: {mp['sec']:.1f}s", file=sys.stderr)
         for level in levels:
-            res = run_level(level, pages_path)
+            if args.intra_cooldown:
+                _time.sleep(args.intra_cooldown)
+            res = run_level(level, pages_path, pin=args.pin)
             results[level].append(res)
             print(f"# local[{level}] run {r + 1}/{args.runs}: "
                   f"{res['sec']:.1f}s, {res['docs_per_sec']} docs/s, "
@@ -297,8 +338,18 @@ def main() -> None:
                "Register-burn hw ceiling also recorded (hw_*). See "
                "BENCH/BASELINE.md; vCPUs 16-31 fractionally backed, "
                "multi-minute load governor."),
+           "cpu_pinned": args.pin,
            "corpus": {"sf_dir": args.sf_dir, "copies": args.copies,
                       "pages_path": pages_path}}
+    if args.pin:
+        out["gate_methodology"] += (
+            " All three measurements (job, mp, hw) run under taskset "
+            "0..N-1 per level: a real executor owns N dedicated cores "
+            "(cgroup cpuset); unpinned, Spark's surplus JVM threads "
+            "spill onto the fractionally-backed vCPUs 16-31 and the "
+            "wide level measures host SMT topology, not the job "
+            "(measured same-epoch: unpinned local[16] 57-103s vs "
+            "pinned 22.5s).")
     # every session appends to the history; scaling_latest.json always
     # holds THIS session (regression checks gate on it — a best-only file
     # would make a genuine scaling regression invisible); scaling.json

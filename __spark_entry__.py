@@ -6,13 +6,16 @@ The driver's verify runs ``entry(spark)`` as a smoke check, runs each
 value-hash → CORRECTNESS_r{N}.json).
 
 Probe inventory ↔ SURVEY.md §2.6 Part B + the training-data operators
-(dedup / similarity / text analysis). Rows-only probes (no oracle entry):
-q_udf_extract (B17), q_approx_distinct (B9), q_minhash_pairs, q_simhash,
-q_simhash_pairs, q_lang_id, q_multimodal_stub, q_ann_lsh_buckets —
-non-SQL-expressible by nature; each has a pytest asserting semantics
+(dedup / similarity / text analysis / ingestion / modality / filters).
+Rows-only probes (no oracle entry): q_udf_extract (B17),
+q_approx_distinct (B9), q_minhash_pairs, q_simhash, q_simhash_pairs,
+q_lang_id, q_multimodal_stub, q_ann_lsh_buckets, q_stateful_running_max
+— non-SQL-expressible by nature; each has a pytest asserting semantics
 instead. The ANN scale-path probes (q_ann_lsh_probe, q_ann_ivf_probe)
 ARE oracle-backed: their bucketing/argmax math is engineered to be
-engine-exact (goose_spark/ann.py).
+engine-exact (goose_spark/ann.py). q_ann_cosine_topk's oracle is
+parameterized by the collected query vector and therefore present only
+when a SparkSession is live at oracle_sql() time (the driver's is).
 """
 
 from __future__ import annotations
