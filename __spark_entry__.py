@@ -145,6 +145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # full crawl chain: page → WARC container → parse → extraction,
         # gated against a SQL-recomputable known-extractable page shape
         "q_warc_extract": W.q_warc_extract,
+        "q_wet_export": W.q_wet_export,
         # corpus filters: PII scrub, repetition signals, domain capping
         "q_pii_redact": FL.q_pii_redact,
         "q_repetition_filter": FL.q_repetition_filter,
@@ -214,6 +215,7 @@ def oracle_sql() -> dict[str, str]:
         "q_pdf_extract": PD.ORACLE_PDF_EXTRACT,
         "q_warc_roundtrip": W.ORACLE_WARC_ROUNDTRIP,
         "q_warc_extract": W.ORACLE_WARC_EXTRACT,
+        "q_wet_export": W.ORACLE_WET_EXPORT,
         "q_pii_redact": FL.ORACLE_PII_REDACT,
         "q_repetition_filter": FL.ORACLE_REPETITION_FILTER,
         "q_domain_cap": FL.ORACLE_DOMAIN_CAP,

@@ -139,3 +139,45 @@ SELECT doc_id,
        'ok' AS status
 FROM documents
 """
+
+
+# ----------------------------------------------------------- WET export --
+def _wet_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from gooselite.warc import read_warc, write_wet
+
+    for batch in it:
+        if not len(batch):
+            continue
+        docs = [(f"https://example.com/doc/{int(i)}", t or "")
+                for i, t in zip(batch["doc_id"], batch["text"])]
+        blob = write_wet(docs, gzip_records=True)
+        recs = [r for r in read_warc(blob) if r.rec_type == "conversion"]
+        yield pd.DataFrame({
+            "doc_id": pd.Series([int(r.url.rsplit("/", 1)[1]) for r in recs],
+                                dtype="int64"),
+            "url": [r.url for r in recs],
+            "text_md5": [hashlib.md5(r.payload).hexdigest() for r in recs],
+            "n_bytes": pd.Series([len(r.payload) for r in recs],
+                                 dtype="int64"),
+        })
+
+
+def q_wet_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pipeline's OUTPUT container: extracted text → WET sidecar
+    (WARC `conversion` records, per-record gzip members) → parsed back;
+    one shuffle-free mapInPandas pass. Proves conversion-record dispatch
+    and that the writer emits spec-shaped records the reader (and any
+    WET consumer) can split on member boundaries."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.mapInPandas(
+        _wet_batches,
+        schema="doc_id long, url string, text_md5 string, n_bytes long")
+
+
+ORACLE_WET_EXPORT = """
+SELECT doc_id,
+       'https://example.com/doc/' || doc_id AS url,
+       md5(text) AS text_md5,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+FROM documents
+"""

@@ -78,6 +78,31 @@ def write_warc(pages, warc_date: str = "2026-01-01T00:00:00Z",
     return b"".join(records)
 
 
+def write_wet(docs, warc_date: str = "2026-01-01T00:00:00Z",
+              gzip_records: bool = True, with_warcinfo: bool = True) -> bytes:
+    """Serialize (url, extracted_text) pairs as a WET file — Common
+    Crawl's extracted-text sidecar: the same WARC/1.0 framing, but each
+    document is a ``conversion`` record whose body is the plain
+    extracted text (no HTTP message), plus the leading warcinfo."""
+    records: List[bytes] = []
+    if with_warcinfo:
+        info = (b"software: gooselite-warc/1.0\r\n"
+                b"format: WARC File Format 1.0\r\n"
+                b"conformsTo: WET extraction sidecar\r\n")
+        records.append(_record_bytes(
+            [("WARC-Type", "warcinfo"), ("WARC-Date", warc_date),
+             ("Content-Type", "application/warc-fields")], info))
+    for url, text in docs:
+        body = text.encode("utf-8") if isinstance(text, str) else bytes(text)
+        records.append(_record_bytes(
+            [("WARC-Type", "conversion"), ("WARC-Date", warc_date),
+             ("WARC-Target-URI", url),
+             ("Content-Type", "text/plain")], body))
+    if gzip_records:
+        return b"".join(_gzip_member(r) for r in records)
+    return b"".join(records)
+
+
 def _inflate_members(b: bytes) -> bytes:
     """Concatenate all gzip members; pass through uncompressed input."""
     if b[:2] != b"\x1f\x8b":

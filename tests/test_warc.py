@@ -96,3 +96,19 @@ def test_read_warc_safe_total_over_mutated_valid_files(seed, gz, data):
         blob[data.draw(st.integers(0, len(blob) - 1))] = \
             data.draw(st.integers(0, 255))
     read_warc_safe(bytes(blob))  # must not raise; value unspecified
+
+
+def test_wet_roundtrip_conversion_records():
+    from gooselite.warc import read_warc, write_wet
+
+    docs = [("https://x/1", "extracted text one"),
+            ("https://x/2", "unicode – “text” 漢字"),
+            ("https://x/3", "")]
+    for gz in (True, False):
+        blob = write_wet(docs, gzip_records=gz)
+        recs = read_warc(blob)
+        assert recs[0].rec_type == "warcinfo"
+        conv = [r for r in recs if r.rec_type == "conversion"]
+        assert [(r.url, r.payload.decode("utf-8")) for r in conv] == [
+            (u, t) for u, t in docs]
+        assert all(r.http_status is None for r in conv)
