@@ -89,6 +89,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from goose_spark import ann as A
     from goose_spark import components as CC
     from goose_spark import audioops as AU
+    from goose_spark import encops as EN
     from goose_spark import filterops as FL
     from goose_spark import imageops as IM
     from goose_spark import pdfops as P
@@ -146,6 +147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # gated against a SQL-recomputable known-extractable page shape
         "q_warc_extract": W.q_warc_extract,
         "q_wet_export": W.q_wet_export,
+        "q_charset_decode": EN.q_charset_decode,
         # corpus filters: PII scrub, repetition signals, domain capping
         "q_pii_redact": FL.q_pii_redact,
         "q_repetition_filter": FL.q_repetition_filter,
@@ -178,6 +180,7 @@ def oracle_sql() -> dict[str, str]:
     query vector, so it is rendered against sf0.01 here.
     """
     from goose_spark import audioops as AU
+    from goose_spark import encops as EN
     from goose_spark import filterops as FL
     from goose_spark import imageops as IM
     from goose_spark import pdfops as PD
@@ -216,6 +219,7 @@ def oracle_sql() -> dict[str, str]:
         "q_warc_roundtrip": W.ORACLE_WARC_ROUNDTRIP,
         "q_warc_extract": W.ORACLE_WARC_EXTRACT,
         "q_wet_export": W.ORACLE_WET_EXPORT,
+        "q_charset_decode": EN.ORACLE_CHARSET_DECODE,
         "q_pii_redact": FL.ORACLE_PII_REDACT,
         "q_repetition_filter": FL.ORACLE_REPETITION_FILTER,
         "q_domain_cap": FL.ORACLE_DOMAIN_CAP,

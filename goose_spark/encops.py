@@ -1,0 +1,80 @@
+"""Charset detection/decode (SURVEY.md A2) as a driver-visible probe.
+
+The A2 stage (gooselite/encoding.py: BOM sniff → declared ``<meta
+charset>`` → utf-8 → latin-1 fallback chain) runs inside the extraction
+UDF and was previously pinned only by the L1 golden suite; this probe
+gates it directly against a DuckDB oracle.  Each document's bytes are
+constructed in one of four deterministic encodings keyed on doc_id
+(plain utf-8, utf-8 BOM, meta-declared iso-8859-1, utf-16-le BOM — the
+corpus text is pure ASCII at every SF, so every variant encodes
+losslessly), decoded by ``decode_html``, and the probe emits the
+detected-encoding label plus the md5 of the decoded string.  The oracle
+recomputes both from the shared construction rules — hash match ⇔ BOM
+sniffing, meta sniffing, and each decode path are exact (including
+utf-8-sig stripping its BOM while utf-16-le keeps U+FEFF, per Python
+codec semantics the pipeline relies on).
+
+Scale shape: one linear mapInPandas pass, no shuffle.
+"""
+from __future__ import annotations
+
+import codecs
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from goose_spark.queries import load
+
+_HEAD_PLAIN = "<html><body>"
+_HEAD_META = '<html><head><meta charset="iso-8859-1"></head><body>'
+
+
+def _encode_variant(doc_id: int, text: str) -> bytes:
+    v = doc_id % 4
+    if v == 0:
+        return (_HEAD_PLAIN + text).encode("utf-8")
+    if v == 1:
+        return codecs.BOM_UTF8 + (_HEAD_PLAIN + text).encode("utf-8")
+    if v == 2:
+        return (_HEAD_META + text).encode("iso-8859-1")
+    return codecs.BOM_UTF16_LE + (_HEAD_PLAIN + text).encode("utf-16-le")
+
+
+def _decode_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from gooselite.encoding import decode_html
+
+    for batch in it:
+        rows = {"doc_id": [], "enc": [], "text_md5": []}
+        for doc_id, text in zip(batch["doc_id"], batch["text"]):
+            d = int(doc_id)
+            decoded, enc = decode_html(_encode_variant(d, text or ""))
+            rows["doc_id"].append(d)
+            rows["enc"].append(enc)
+            rows["text_md5"].append(
+                hashlib.md5(decoded.encode("utf-8")).hexdigest())
+        rows["doc_id"] = pd.Series(rows["doc_id"], dtype="int64")
+        yield pd.DataFrame(rows)
+
+
+def q_charset_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 charset chain over four deterministic byte encodings; one
+    shuffle-free mapInPandas pass."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.mapInPandas(
+        _decode_batches, schema="doc_id long, enc string, text_md5 string")
+
+
+ORACLE_CHARSET_DECODE = f"""
+SELECT doc_id,
+       CASE doc_id % 4 WHEN 0 THEN 'utf-8'
+                       WHEN 1 THEN 'utf-8-sig'
+                       WHEN 2 THEN 'iso-8859-1'
+                       ELSE 'utf-16-le' END AS enc,
+       md5(CASE doc_id % 4
+             WHEN 2 THEN '{_HEAD_META}' || text
+             WHEN 3 THEN chr(65279) || '{_HEAD_PLAIN}' || text
+             ELSE '{_HEAD_PLAIN}' || text END) AS text_md5
+FROM documents
+"""
