@@ -10,9 +10,11 @@ Scale design (the part that must hold at 10^12 documents / 1000 executors):
 * **Dedupe + resume before the expensive stage.** row_number dedupe (B11)
   and the checkpoint LEFT ANTI join (B4) run on (url, warc_ts) only —
   Spark 4 pushes the projection down so the shuffle carries html only for
-  surviving rows... html must ride the dedupe shuffle; at cluster scale
-  prefer bucketed-by-url table layout so both become shuffle-free. The
-  anti-join's right side (checkpoint urls) is small per run → broadcast.
+  surviving rows... html must ride the dedupe shuffle on a plain parquet
+  scan; the cluster-scale fix is the bucketed-by-url layout, implemented
+  below (``write_pages_bucketed`` / ``dedupe_latest_bucketed``) and
+  plan-asserted shuffle-free. The anti-join's right side (checkpoint
+  urls) is small per run → broadcast.
 * **Salted repartition (B15).** ``repartition(P, pmod(xxhash64(url), P))``
   spreads documents uniformly; AQE rebalances by bytes but cannot split
   inside a UDF stage, so uniform row spread is done explicitly
@@ -84,6 +86,27 @@ def dedupe_latest(pages: DataFrame) -> DataFrame:
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+def write_pages_bucketed(pages: DataFrame, table: str,
+                         buckets: int = 32) -> None:
+    """The cluster-scale table layout named in the module docstring: a
+    url-bucketed (and in-bucket url-sorted) pages table. Reading it back,
+    the scan reports HashPartitioning(url) so the dedupe window — and the
+    checkpoint anti-join when both sides share the layout — run with ZERO
+    exchange: the fat html column never shuffles (plan-asserted in
+    tests/test_plans.py::test_bucketed_dedupe_has_no_exchange). At 10^12
+    rows this is the Iceberg `bucket(url, N)` partition transform
+    (goose_spark/iceberg.py DDL); locally it is Spark's native bucketed
+    parquet via saveAsTable."""
+    (pages.write.mode("overwrite")
+     .bucketBy(buckets, "url").sortBy("url").saveAsTable(table))
+
+
+def dedupe_latest_bucketed(spark: SparkSession, table: str) -> DataFrame:
+    """`dedupe_latest` over the bucketed layout — identical semantics,
+    shuffle-free plan."""
+    return dedupe_latest(spark.table(table))
 
 
 def resume_filter(pages: DataFrame, checkpoint: DataFrame | None,

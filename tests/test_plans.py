@@ -155,3 +155,34 @@ def test_warc_extract_single_python_stage(spark):
     assert tree.count("MapInPandas") == 1
     assert "BatchEvalPython" not in plan
     assert "Exchange" not in tree        # linear chain, zero shuffles
+
+
+def test_bucketed_dedupe_has_no_exchange(spark, tmp_path):
+    """The module-docstring scale fix made real: on the url-bucketed
+    layout the dedupe window needs NO exchange — the fat html column
+    never shuffles — while the same plan on plain parquet does."""
+    from pyspark.sql import functions as F
+
+    pages = spark.range(300).select(
+        F.concat(F.lit("https://u/"), (F.col("id") % 100).cast("string"))
+        .alias("url"),
+        F.col("id").cast("timestamp").alias("warc_ts"),
+        F.sha2(F.col("id").cast("string"), 256).cast("binary").alias("html"))
+
+    plain_path = str(tmp_path / "plain")
+    pages.write.parquet(plain_path)
+    plain = _plan(J.dedupe_latest(spark.read.parquet(plain_path)))
+    assert "Exchange" in plain.split("\n\n")[0]
+
+    J.write_pages_bucketed(pages, "pages_bucketed_t", buckets=4)
+    try:
+        out = J.dedupe_latest_bucketed(spark, "pages_bucketed_t")
+        tree = _plan(out).split("\n\n")[0]
+        assert "Exchange" not in tree
+        # identical semantics: same surviving (url, warc_ts) set
+        a = sorted((r.url, r.warc_ts) for r in out.collect())
+        b = sorted((r.url, r.warc_ts)
+                   for r in J.dedupe_latest(spark.read.parquet(plain_path)).collect())
+        assert a == b
+    finally:
+        spark.sql("DROP TABLE IF EXISTS pages_bucketed_t")
