@@ -109,6 +109,17 @@ def dedupe_latest_bucketed(spark: SparkSession, table: str) -> DataFrame:
     return dedupe_latest(spark.table(table))
 
 
+def resume_filter_bucketed(spark: SparkSession, pages_table: str,
+                           checkpoint_table: str) -> DataFrame:
+    """`resume_filter` at 10^12-row scale: when the checkpoint history
+    has grown past broadcast size, co-bucket BOTH sides by url (same
+    bucket count) and the LEFT ANTI join runs as a zero-exchange
+    SortMergeJoin — neither the fat pages side nor the full url history
+    ever shuffles (plan-asserted in tests/test_plans.py)."""
+    return spark.table(pages_table).join(
+        spark.table(checkpoint_table).select("url"), "url", "left_anti")
+
+
 def resume_filter(pages: DataFrame, checkpoint: DataFrame | None,
                   run_id: str | None = None) -> DataFrame:
     """B4: drop urls already completed — LEFT ANTI join against the

@@ -1,6 +1,8 @@
 """Physical-plan shape tests (SURVEY.md §4.2): pushdown, pruning, and join
 strategy must actually reach the scan — not just produce correct rows."""
 
+from contextlib import contextmanager
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -186,3 +188,39 @@ def test_bucketed_dedupe_has_no_exchange(spark, tmp_path):
         assert a == b
     finally:
         spark.sql("DROP TABLE IF EXISTS pages_bucketed_t")
+
+
+@contextmanager
+def _no_broadcast(spark):
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_bucketed_anti_join_has_no_exchange(spark):
+    """resume_filter at history scale: both sides co-bucketed by url →
+    zero-exchange SortMergeJoin LeftAnti (broadcast no longer possible
+    when the checkpoint history is 10^12 urls)."""
+    from pyspark.sql import functions as F
+
+    pages = spark.range(200).select(
+        F.concat(F.lit("u"), F.col("id").cast("string")).alias("url"),
+        F.sha2(F.col("id").cast("string"), 256).alias("html"))
+    ckpt = spark.range(120).select(
+        F.concat(F.lit("u"), F.col("id").cast("string")).alias("url"))
+    J.write_pages_bucketed(pages, "pages_aj_t", buckets=4)
+    (ckpt.write.mode("overwrite")
+     .bucketBy(4, "url").sortBy("url").saveAsTable("ckpt_aj_t"))
+    try:
+        with _no_broadcast(spark):
+            out = J.resume_filter_bucketed(spark, "pages_aj_t", "ckpt_aj_t")
+            tree = _plan(out).split("\n\n")[0]
+            assert "Exchange" not in tree
+            assert "SortMergeJoin LeftAnti" in tree
+            assert out.count() == 80
+    finally:
+        spark.sql("DROP TABLE IF EXISTS pages_aj_t")
+        spark.sql("DROP TABLE IF EXISTS ckpt_aj_t")
