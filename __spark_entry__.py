@@ -96,6 +96,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from goose_spark import warcops as W
     from goose_spark import queries as Q
     from goose_spark import textops as T
+    from goose_spark import videoops as V
 
     return {
         # Part B relational probes (SURVEY.md §2.6)
@@ -135,6 +136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # decoded pixel rows are gated against a SQL-computable pattern
         "q_image_decode": IM.q_image_decode,
         "q_audio_features": AU.q_audio_features,
+        "q_video_frames": V.q_video_frames,
         "q_ngram_jaccard": T.q_ngram_jaccard,
         "q_url_normalize": T.q_url_normalize,
         "q_gopher_rules": T.q_gopher_rules,
@@ -187,6 +189,7 @@ def oracle_sql() -> dict[str, str]:
     from goose_spark import warcops as W
     from goose_spark import queries as Q
     from goose_spark import textops as T
+    from goose_spark import videoops as V
 
     oracles = {
         "q_scan_filter_project": Q.ORACLE_SCAN_FILTER_PROJECT,
@@ -225,6 +228,7 @@ def oracle_sql() -> dict[str, str]:
         "q_domain_cap": FL.ORACLE_DOMAIN_CAP,
         "q_image_decode": IM.ORACLE_IMAGE_DECODE,
         "q_audio_features": AU.ORACLE_AUDIO_FEATURES,
+        "q_video_frames": V.ORACLE_VIDEO_FRAMES,
     }
     from goose_spark import ann as A
     from goose_spark import streaming as S
