@@ -95,6 +95,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from goose_spark import pdfops as P
     from goose_spark import warcops as W
     from goose_spark import queries as Q
+    from goose_spark import robotsops as RB
     from goose_spark import textops as T
     from goose_spark import videoops as V
 
@@ -150,6 +151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_warc_extract": W.q_warc_extract,
         "q_wet_export": W.q_wet_export,
         "q_charset_decode": EN.q_charset_decode,
+        "q_robots_gate": RB.q_robots_gate,
         # corpus filters: PII scrub, repetition signals, domain capping
         "q_pii_redact": FL.q_pii_redact,
         "q_repetition_filter": FL.q_repetition_filter,
@@ -188,6 +190,7 @@ def oracle_sql() -> dict[str, str]:
     from goose_spark import pdfops as PD
     from goose_spark import warcops as W
     from goose_spark import queries as Q
+    from goose_spark import robotsops as RB
     from goose_spark import textops as T
     from goose_spark import videoops as V
 
@@ -223,6 +226,7 @@ def oracle_sql() -> dict[str, str]:
         "q_warc_extract": W.ORACLE_WARC_EXTRACT,
         "q_wet_export": W.ORACLE_WET_EXPORT,
         "q_charset_decode": EN.ORACLE_CHARSET_DECODE,
+        "q_robots_gate": RB.ORACLE_ROBOTS_GATE,
         "q_pii_redact": FL.ORACLE_PII_REDACT,
         "q_repetition_filter": FL.ORACLE_REPETITION_FILTER,
         "q_domain_cap": FL.ORACLE_DOMAIN_CAP,

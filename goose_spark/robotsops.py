@@ -1,0 +1,94 @@
+"""Crawl politeness as a Spark operator: RFC 9309 robots.txt verdicts,
+oracle-backed by an independent decision table.
+
+Six deterministic scenarios keyed on doc_id exercise each precedence
+rule of `gooselite.robots` — path-prefix disallow, longest-match
+allow-override, ``*``-wildcard + ``$``-anchor patterns, specific-agent
+group beating the ``*`` group, no-matching-rule default-allow, and the
+equal-length Allow-wins tie-break — with comment/unknown-field lines
+interleaved so lexing is on the gated path.  The DuckDB oracle encodes
+the EXPECTED verdict as a truth table over doc_id (it never parses
+robots text), so a hash match means the evaluator derived every verdict
+from the rules independently.
+
+Scale shape: one linear mapInPandas pass, no shuffle.  In a real
+pipeline the robots text arrives as a per-host column (one fetch per
+host, broadcast- or host-bucket-joined to the url stream) and this
+verdict is the filter before fetch/extraction.
+"""
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from goose_spark.queries import load
+
+_PREAMBLE = "# synthetic robots\nCrawl-delay: 10\nSitemap: /s.xml\n"
+
+_SCENARIOS = [
+    # (robots_text, agent, path_prefix)        expected (oracle truth table)
+    (_PREAMBLE + "User-agent: *\nDisallow: /private/",
+     "goosebot", "/private/x"),                          # 0 → False
+    (_PREAMBLE + "User-agent: *\nDisallow: /p\nAllow: /p/ok",
+     "goosebot", "/p/ok/f"),                             # 1 → True
+    (_PREAMBLE + "User-agent: *\nDisallow: /*.pdf$",
+     "goosebot", None),                                  # 2 → False (path below)
+    (_PREAMBLE + "User-agent: goosebot\nDisallow: /\n"
+     "User-agent: *\nAllow: /",
+     "goosebot/1.0", "/x"),                              # 3 → False
+    (_PREAMBLE + "User-agent: *\nDisallow: /private/",
+     "goosebot", "/public/"),                            # 4 → True
+    (_PREAMBLE + "User-agent: *\nDisallow: /dir/\nAllow: /dir*",
+     "goosebot", "/dir/a"),                              # 5 → True (tie)
+]
+
+
+def _path_for(v: int, d: int) -> str:
+    if v == 2:
+        return f"/doc{d}.pdf"
+    return f"{_SCENARIOS[v][2]}{d}"
+
+
+def _robots_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from gooselite.robots import allowed
+
+    for batch in it:
+        rows = {"doc_id": [], "agent": [], "path": [], "allowed": []}
+        for doc_id in batch["doc_id"]:
+            d = int(doc_id)
+            v = d % len(_SCENARIOS)
+            text, agent, _ = _SCENARIOS[v]
+            path = _path_for(v, d)
+            rows["doc_id"].append(d)
+            rows["agent"].append(agent)
+            rows["path"].append(path)
+            rows["allowed"].append(allowed(text, agent, path))
+        rows["doc_id"] = pd.Series(rows["doc_id"], dtype="int64")
+        yield pd.DataFrame(rows)
+
+
+def q_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 9309 verdicts over the six scenario classes; one shuffle-free
+    mapInPandas pass."""
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    return d.mapInPandas(
+        _robots_batches,
+        schema="doc_id long, agent string, path string, allowed boolean")
+
+
+ORACLE_ROBOTS_GATE = """
+SELECT doc_id,
+       CASE WHEN doc_id % 6 = 3 THEN 'goosebot/1.0' ELSE 'goosebot' END
+         AS agent,
+       CASE doc_id % 6
+         WHEN 0 THEN '/private/x' || doc_id
+         WHEN 1 THEN '/p/ok/f' || doc_id
+         WHEN 2 THEN '/doc' || doc_id || '.pdf'
+         WHEN 3 THEN '/x' || doc_id
+         WHEN 4 THEN '/public/' || doc_id
+         ELSE '/dir/a' || doc_id END AS path,
+       doc_id % 6 NOT IN (0, 2, 3) AS allowed
+FROM documents
+"""

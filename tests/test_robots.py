@@ -1,0 +1,59 @@
+"""RFC 9309 evaluator (gooselite.robots).  Cross-engine equality of the
+q_robots_gate probe vs its DuckDB truth table is covered by
+test_relational_probes."""
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from gooselite.robots import allowed, parse_robots
+
+R = "User-agent: *\nDisallow: /private/\nAllow: /private/ok\n"
+
+
+def test_prefix_disallow_and_longest_allow_override():
+    assert not allowed(R, "bot", "/private/x")
+    assert allowed(R, "bot", "/private/ok/deep")
+    assert allowed(R, "bot", "/public")
+
+
+def test_wildcard_and_end_anchor():
+    r = "User-agent: *\nDisallow: /*.pdf$\n"
+    assert not allowed(r, "bot", "/a/b/c.pdf")
+    assert allowed(r, "bot", "/a/b/c.pdfx")  # $ anchors the end
+    r2 = "User-agent: *\nDisallow: /a*b\n"
+    assert not allowed(r2, "bot", "/a-anything-b/tail")
+    assert allowed(r2, "bot", "/a-anything-c")
+
+
+def test_specific_agent_group_beats_star():
+    r = ("User-agent: goosebot\nDisallow: /\n"
+         "User-agent: *\nAllow: /\n")
+    assert not allowed(r, "GooseBot/1.0", "/x")  # case-insensitive prefix
+    assert allowed(r, "otherbot", "/x")
+
+
+def test_tie_allow_wins_and_default_allow():
+    r = "User-agent: *\nDisallow: /dir/\nAllow: /dir*\n"
+    assert allowed(r, "bot", "/dir/a")  # equal length 5 vs 5 → Allow
+    assert allowed("User-agent: *\nDisallow: /private/", "bot", "/pub")
+    assert allowed("", "bot", "/anything")  # no groups at all
+
+
+def test_comments_unknown_fields_and_multi_agent_groups():
+    r = ("# hello\nCrawl-delay: 10\nSitemap: /s.xml\n"
+         "User-agent: a\nUser-agent: b\nDisallow: /x # trailing comment\n")
+    assert not allowed(r, "b-bot", "/x/1")
+    assert allowed(r, "c", "/x/1")  # no * group, no agent match → allow
+    groups = parse_robots(r)
+    assert groups[0][0] == ["a", "b"]
+
+
+def test_empty_disallow_means_no_rule():
+    r = "User-agent: *\nDisallow:\n"
+    assert allowed(r, "bot", "/anything")
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(max_size=300), st.text(max_size=30), st.text(max_size=60))
+def test_allowed_total_over_garbage(text, agent, path):
+    assert allowed(text, agent, path) in (True, False)  # never raises
