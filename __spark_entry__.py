@@ -9,9 +9,11 @@ Probe inventory ↔ SURVEY.md §2.6 Part B + the training-data operators
 (dedup / similarity / text analysis / ingestion / modality / filters).
 Rows-only probes (no oracle entry): q_udf_extract (B17),
 q_approx_distinct (B9), q_minhash_pairs, q_simhash, q_simhash_pairs,
-q_lang_id, q_multimodal_stub, q_ann_lsh_buckets, q_stateful_running_max
+q_multimodal_stub, q_ann_lsh_buckets, q_stateful_running_max
 — non-SQL-expressible by nature; each has a pytest asserting semantics
-instead. The ANN scale-path probes (q_ann_lsh_probe, q_ann_ivf_probe)
+instead. (q_lang_id graduated to oracle-backed: its stopword tables are
+embedded in the SQL and the density threshold is an exact integer test —
+textops.oracle_lang_id.) The ANN scale-path probes (q_ann_lsh_probe, q_ann_ivf_probe)
 ARE oracle-backed: their bucketing/argmax math is engineered to be
 engine-exact (goose_spark/ann.py). q_ann_cosine_topk's oracle is
 parameterized by the collected query vector and therefore present only
@@ -227,6 +229,7 @@ def oracle_sql() -> dict[str, str]:
         "q_wet_export": W.ORACLE_WET_EXPORT,
         "q_charset_decode": EN.ORACLE_CHARSET_DECODE,
         "q_robots_gate": RB.ORACLE_ROBOTS_GATE,
+        "q_lang_id": T.oracle_lang_id(),
         "q_pii_redact": FL.ORACLE_PII_REDACT,
         "q_repetition_filter": FL.ORACLE_REPETITION_FILTER,
         "q_domain_cap": FL.ORACLE_DOMAIN_CAP,

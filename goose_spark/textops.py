@@ -623,3 +623,55 @@ SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_ratio,
         AND bullet_ratio <= {GOPHER_MAX_BULLET_RATIO}) AS passes
 FROM t
 """
+
+
+# ------------------------------------------------------- lang-id oracle --
+def oracle_lang_id() -> str:
+    """SQL twin of `_lang_id_kernel`, built from the SAME stopword tables
+    (flipping q_lang_id from rows-only to oracle-backed). Every kernel
+    semantic is mirrored exactly: punctuation DELETION (str.translate
+    with string.punctuation ↔ DuckDB translate-to-empty), whitespace
+    split dropping empties, the 500-word cap, per-occurrence counting,
+    first-in-dict-order tie-break ("score > best" keeps the earlier
+    language ↔ ROW_NUMBER ordered by count DESC, table-priority ASC),
+    and the ≥ 0.05 density threshold as the EXACT integer test
+    20·count ≥ n_words (no float division crosses the engine boundary).
+    """
+    import string
+
+    from gooselite.stopwords_data import STOPWORDS
+
+    punct = string.punctuation.replace("'", "''")
+    rows = []
+    for prio, (lang, table) in enumerate(STOPWORDS.items()):
+        words = ", ".join("'" + w.replace("'", "''") + "'"
+                          for w in sorted(table))
+        rows.append(f"('{lang}', {prio}, [{words}])")
+    values = ",\n        ".join(rows)
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_slice(list_filter(
+             string_split_regex(lower(translate(text, '{punct}', '')),
+                                '\\s+'),
+             x -> x != ''), 1, 500) AS ws
+  FROM documents),
+n AS (SELECT doc_id, len(ws) AS n_words FROM toks),
+w AS (SELECT doc_id, unnest(ws) AS w FROM toks),
+st(lang, prio, words) AS (
+  VALUES {values}),
+sw AS (SELECT lang, prio, unnest(words) AS w FROM st),
+hits AS (
+  SELECT w.doc_id, sw.lang, sw.prio, COUNT(*) AS c
+  FROM w JOIN sw ON w.w = sw.w
+  GROUP BY w.doc_id, sw.lang, sw.prio),
+best AS (
+  SELECT doc_id, lang, c,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY c DESC, prio ASC) AS rn
+  FROM hits)
+SELECT n.doc_id,
+       CASE WHEN b.lang IS NOT NULL AND 20 * b.c >= n.n_words
+            THEN b.lang ELSE 'unknown' END AS guessed_lang
+FROM n LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
+"""
