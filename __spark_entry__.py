@@ -9,11 +9,11 @@ Probe inventory ↔ SURVEY.md §2.6 Part B + the training-data operators
 (dedup / similarity / text analysis / ingestion / modality / filters).
 Rows-only probes (no oracle entry): q_udf_extract (B17),
 q_approx_distinct (B9), q_minhash_pairs, q_simhash, q_simhash_pairs,
-q_multimodal_stub, q_ann_lsh_buckets, q_stateful_running_max
-— non-SQL-expressible by nature; each has a pytest asserting semantics
-instead. (q_lang_id graduated to oracle-backed: its stopword tables are
-embedded in the SQL and the density threshold is an exact integer test —
-textops.oracle_lang_id.) The ANN scale-path probes (q_ann_lsh_probe, q_ann_ivf_probe)
+q_multimodal_stub, q_stateful_running_max — non-SQL-expressible by
+nature (xxhash64/HLL/stub/stream-state); each has a pytest asserting
+semantics instead. q_lang_id and q_ann_lsh_buckets graduated to
+oracle-backed in r3 (table-embedded SQL twin; exact-integer bucketing).
+The ANN scale-path probes (q_ann_lsh_probe, q_ann_ivf_probe)
 ARE oracle-backed: their bucketing/argmax math is engineered to be
 engine-exact (goose_spark/ann.py). q_ann_cosine_topk's oracle is
 parameterized by the collected query vector and therefore present only
@@ -133,7 +133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_minhash_pairs": T.q_minhash_pairs,              # rows-only
         "q_simhash": T.q_simhash,                          # rows-only
         "q_simhash_pairs": T.q_simhash_pairs,              # rows-only
-        "q_lang_id": T.q_lang_id,                          # rows-only
+        "q_lang_id": T.q_lang_id,
         "q_multimodal_stub": T.q_multimodal_stub,          # rows-only
         # real PNG codec (r3): encode+decode inside Arrow batches; the
         # decoded pixel rows are gated against a SQL-computable pattern
@@ -160,7 +160,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_domain_cap": FL.q_domain_cap,
         # similarity search / embedding ops
         "q_ann_cosine_topk": A.q_ann_cosine_topk,
-        "q_ann_lsh_buckets": A.q_ann_lsh_buckets,          # rows-only
+        "q_ann_lsh_buckets": A.q_ann_lsh_buckets,
         "q_ann_lsh_probe": A.q_ann_lsh_probe,
         "q_embed_neardup": A.q_embed_neardup,
         "q_ann_ivf": A.q_ann_ivf,
@@ -250,6 +250,7 @@ def oracle_sql() -> dict[str, str]:
         # rows-only instead) — but it must be LOUD: a silent drop here
         # shrinks the oracle gate with no signal (ADVICE r2).
         oracles["q_ann_lsh_probe"] = A.oracle_ann_lsh_probe()
+        oracles["q_ann_lsh_buckets"] = A.oracle_ann_lsh_buckets()
         oracles["q_ann_ivf_probe"] = A.oracle_ann_ivf_probe()
     except Exception as e:
         import sys

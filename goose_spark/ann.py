@@ -405,3 +405,28 @@ JOIN probed p ON a.centroid_id = p.centroid_id AND p.pr <= {NPROBE}, q
 WHERE a.vec_id != {QUERY_VEC_ID}
 ORDER BY cosine DESC, vec_id LIMIT {TOP_K}
 """
+
+
+def oracle_ann_lsh_buckets(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    """DuckDB twin of q_ann_lsh_buckets (graduating it from rows-only):
+    the full-corpus N_PLANES bucket assignment with the same
+    quantized-integer projection — floor(v·QUANT) ints against integer
+    planes keeps every dot product exact (< 2^53) in any summation
+    order, so both engines assign identical buckets. Only `dim` is read
+    from the parquet (via pyarrow, no Spark needed)."""
+    dim = len(_vectors_pyarrow(sf_dir))
+    bits = []
+    for p in range(N_PLANES):
+        plane = ("[" + ", ".join(str(_plane_int(p, j)) for j in range(dim))
+                 + "]::DOUBLE[]")
+        weight = 2 ** (N_PLANES - 1 - p)
+        bits.append(
+            f"(CASE WHEN list_dot_product(list_transform(v, x -> floor(x * {QUANT})),"
+            f" {plane}) > 0 THEN {weight} ELSE 0 END)")
+    bucket_sql = " + ".join(bits)
+    return f"""
+WITH t AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings)
+SELECT vec_id, label, CAST({bucket_sql} AS INT) AS bucket
+FROM t
+"""
