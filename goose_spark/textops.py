@@ -675,3 +675,60 @@ SELECT n.doc_id,
             THEN b.lang ELSE 'unknown' END AS guessed_lang
 FROM n LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
 """
+
+
+# ------------------------------------------------------ chunk windowing --
+# LLM-training document windowing: fixed-size token windows with overlap
+# (the sequence-packing precursor). Policy constants centralized here.
+CHUNK_TOKENS = 128
+CHUNK_STRIDE = 96  # 32-token overlap
+
+
+def q_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per (doc, window): whitespace tokens, window starts at
+    offsets 0, S, 2S, ... < n_tokens, each window up to CHUNK_TOKENS
+    long (the trailing windows are shorter). All JVM expressions —
+    split once, sequence + posexplode + slice; the row explosion is the
+    operator, not a shuffle (zero exchanges).
+
+    At 100 TB this is the map-side prelude to sequence packing: windows
+    flow straight into the tokenizer/packer without materializing the
+    token arrays (slice happens inside the projection)."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    d = d.withColumn("toks", F.split(F.trim(F.col("text")), r"\s+"))
+    d = d.withColumn("n_tokens", F.size("toks"))
+    d = d.select(
+        "doc_id", "toks", "n_tokens",
+        F.posexplode(F.expr(
+            f"sequence(0, greatest(n_tokens - 1, 0), {CHUNK_STRIDE})"
+        )).alias("chunk_idx", "off"))
+    chunk = F.expr(f"slice(toks, off + 1, {CHUNK_TOKENS})")
+    return d.select(
+        "doc_id", "chunk_idx", "off",
+        F.size(chunk).alias("chunk_tokens"),
+        F.md5(F.array_join(chunk, " ").cast("binary")).alias("chunk_md5"))
+
+
+ORACLE_CHUNK_WINDOWS = f"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks,
+         len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+  FROM documents),
+o AS (
+  -- scalar generate_series (list form) + unnest: the table-function
+  -- form cannot take lateral column bounds in DuckDB 1.0
+  SELECT doc_id, toks, n_tokens,
+         unnest(generate_series(0, greatest(n_tokens - 1, 0),
+                                {CHUNK_STRIDE})) AS off
+  FROM t)
+, o2 AS (
+  SELECT o.*, CAST(off / {CHUNK_STRIDE} AS BIGINT) AS chunk_idx FROM o)
+SELECT doc_id, chunk_idx, CAST(off AS INT) AS off,
+       CAST(len(list_slice(toks, off + 1,
+                           least(off + {CHUNK_TOKENS}, n_tokens))) AS INT)
+         AS chunk_tokens,
+       md5(array_to_string(list_slice(toks, off + 1,
+                                      least(off + {CHUNK_TOKENS}, n_tokens)),
+                           ' ')) AS chunk_md5
+FROM o2
+"""
