@@ -159,6 +159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_repetition_filter": FL.q_repetition_filter,
         "q_domain_cap": FL.q_domain_cap,
         "q_chunk_windows": T.q_chunk_windows,
+        "q_pack_sequences": T.q_pack_sequences,
         # similarity search / embedding ops
         "q_ann_cosine_topk": A.q_ann_cosine_topk,
         "q_ann_lsh_buckets": A.q_ann_lsh_buckets,
@@ -232,6 +233,7 @@ def oracle_sql() -> dict[str, str]:
         "q_robots_gate": RB.ORACLE_ROBOTS_GATE,
         "q_lang_id": T.oracle_lang_id(),
         "q_chunk_windows": T.ORACLE_CHUNK_WINDOWS,
+        "q_pack_sequences": T.ORACLE_PACK_SEQUENCES,
         "q_pii_redact": FL.ORACLE_PII_REDACT,
         "q_repetition_filter": FL.ORACLE_REPETITION_FILTER,
         "q_domain_cap": FL.ORACLE_DOMAIN_CAP,

@@ -732,3 +732,54 @@ SELECT doc_id, chunk_idx, CAST(off AS INT) AS off,
                            ' ')) AS chunk_md5
 FROM o2
 """
+
+
+# ----------------------------------------------------- sequence packing --
+PACK_CAPACITY = 2048   # tokens per training sequence
+PACK_SHARDS = 64       # packing shards (the scale unit — see docstring)
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-cut sequence packing: documents are concatenated in a
+    deterministic order and cut every PACK_CAPACITY tokens; each doc is
+    assigned the training sequence its first token lands in.
+
+    Scale shape: a single global ordering would serialize the cumsum
+    into one window partition, so packing runs WITHIN doc_id%PACK_SHARDS
+    shards — one shuffle on the shard key, cumulative sums in-shard
+    (exactly how a cluster packs: one packer per shard, no global
+    coordination). Emits per doc: shard, seq_id, offset inside the
+    sequence, and the shard-local token prefix — every value an exact
+    integer."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    n_tok = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    d = d.select("doc_id", n_tok.alias("n_tokens"),
+                 (F.col("doc_id") % PACK_SHARDS).alias("shard"))
+    w = Window.partitionBy("shard").orderBy("doc_id")
+    cum = F.sum("n_tokens").over(w)
+    start = (cum - F.col("n_tokens"))
+    return d.select(
+        "doc_id", "shard", "n_tokens",
+        start.alias("start_tok"),
+        F.floor(start / PACK_CAPACITY).cast("long").alias("seq_id"),
+        (start % PACK_CAPACITY).cast("long").alias("seq_offset"))
+
+
+ORACLE_PACK_SEQUENCES = f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS INT)
+           AS n_tokens,
+         doc_id % {PACK_SHARDS} AS shard
+  FROM documents),
+c AS (
+  SELECT doc_id, shard, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id)
+           - n_tokens AS start_tok
+  FROM t)
+SELECT doc_id, shard, n_tokens,
+       CAST(start_tok AS BIGINT) AS start_tok,
+       CAST(start_tok // {PACK_CAPACITY} AS BIGINT) AS seq_id,
+       CAST(start_tok % {PACK_CAPACITY} AS BIGINT) AS seq_offset
+FROM c
+"""
