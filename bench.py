@@ -50,6 +50,22 @@ def main() -> None:
     from goose_spark.fixtures import ensure_pages
 
     pages_path, _ = ensure_pages(sf_dir)  # cached; generation NOT timed
+
+    # Pre-cooldown: this host applies a multi-minute load governor after
+    # sustained wide load (BENCH/BASELINE.md), and the driver typically
+    # invokes bench right after its correctness pass — which would charge
+    # the governor's penalty to the first timed runs (measured: identical
+    # code 18.9 s in a settled window vs 36 s launched hot). Wait, capped,
+    # for the 1-minute load average to settle before starting the JVM;
+    # the wait is recorded in the output, never the timings.
+    precool = 0.0
+    try:
+        while precool < 120 and os.getloadavg()[0] > 2.0:
+            time.sleep(10)
+            precool += 10
+    except OSError:  # pragma: no cover - platforms without getloadavg
+        pass
+
     spark = build_session(cpus)
     J.configure_session(spark)
 
@@ -99,6 +115,7 @@ def main() -> None:
                 break
     timings["q_extract"] = min(runs)
     extras["q_extract_runs"] = [round(t, 3) for t in runs]
+    extras["precooldown_s"] = round(precool, 1)
     if hist_best is not None:
         extras["q_extract_historical_best"] = hist_best
     extras["docs_extracted"] = int(row["docs"])
