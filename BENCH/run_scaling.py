@@ -257,6 +257,8 @@ def main() -> None:
         if args.cooldown:
             _time.sleep(args.cooldown)
         for level in levels:
+            if args.intra_cooldown:
+                _time.sleep(args.intra_cooldown)
             hw_samples[level].append(measure_hw_level(level, pin=args.pin))
         for level in levels:
             if args.intra_cooldown:

@@ -52,19 +52,23 @@ def _path_for(v: int, d: int) -> str:
 
 
 def _robots_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    from gooselite.robots import allowed
+    from gooselite.robots import allowed_compiled, compile_rules
 
+    # parse + regex-compile each (robots text, agent) pair ONCE per task —
+    # the hot path is verdict-per-url, exactly as a per-host compiled
+    # matcher would be broadcast at scale
+    compiled = [compile_rules(text, agent) for text, agent, _ in _SCENARIOS]
     for batch in it:
         rows = {"doc_id": [], "agent": [], "path": [], "allowed": []}
         for doc_id in batch["doc_id"]:
             d = int(doc_id)
             v = d % len(_SCENARIOS)
-            text, agent, _ = _SCENARIOS[v]
+            _, agent, _ = _SCENARIOS[v]
             path = _path_for(v, d)
             rows["doc_id"].append(d)
             rows["agent"].append(agent)
             rows["path"].append(path)
-            rows["allowed"].append(allowed(text, agent, path))
+            rows["allowed"].append(allowed_compiled(compiled[v], path))
         rows["doc_id"] = pd.Series(rows["doc_id"], dtype="int64")
         yield pd.DataFrame(rows)
 

@@ -63,35 +63,55 @@ def parse_robots(text: str) -> List[Tuple[List[str], List[Tuple[bool, str]]]]:
 
 
 def _select_group(groups, agent: str) -> List[Tuple[bool, str]]:
+    """RFC 9309 §2.2.1: ALL groups matching the chosen user-agent merge
+    (real robots.txt files commonly repeat a User-agent); the chosen
+    agent is the longest-prefix specific token, else ``*``."""
     agent = agent.lower()
-    best_len, best_rules = -1, None
-    star_rules = None
+    best_len = -1
+    for agents, _rules in groups:
+        for tok in agents:
+            if tok != "*" and agent.startswith(tok) and len(tok) > best_len:
+                best_len = len(tok)
+    merged: List[Tuple[bool, str]] = []
+    want_star = best_len < 0
     for agents, rules in groups:
         for tok in agents:
-            if tok == "*":
-                if star_rules is None:
-                    star_rules = rules
-            elif agent.startswith(tok) and len(tok) > best_len:
-                best_len, best_rules = len(tok), rules
-    if best_rules is not None:
-        return best_rules
-    return star_rules if star_rules is not None else []
+            if (tok == "*" and want_star) or (
+                    tok != "*" and len(tok) == best_len
+                    and agent.startswith(tok)):
+                merged.extend(rules)
+                break
+    return merged
+
+
+def compile_rules(robots_text: str, agent: str):
+    """Pre-compiled rule set for repeated verdicts against one (robots
+    text, agent) pair — the per-host hot path: [(pattern_len, is_allow,
+    compiled_re), ...]. Unparseable patterns are skipped."""
+    compiled = []
+    for is_allow, pattern in _select_group(parse_robots(robots_text), agent):
+        try:
+            compiled.append((len(pattern), is_allow, _pattern_to_re(pattern)))
+        except re.error:  # pragma: no cover - escaped patterns can't
+            continue
+    return compiled
+
+
+def allowed_compiled(compiled, path: str) -> bool:
+    """Verdict from compile_rules output: longest pattern wins, tie →
+    Allow wins, no match → allowed."""
+    best = None  # (pattern_len, is_allow)
+    for plen, is_allow, rx in compiled:
+        if rx.match(path):
+            key = (plen, is_allow)
+            if best is None or key > best:
+                best = key
+    return True if best is None else best[1]
 
 
 def allowed(robots_text: str, agent: str, path: str) -> bool:
     """RFC 9309 verdict for (agent, path); total over arbitrary text."""
     try:
-        rules = _select_group(parse_robots(robots_text), agent)
-        best = None  # (pattern_len, is_allow)
-        for is_allow, pattern in rules:
-            try:
-                if _pattern_to_re(pattern).match(path):
-                    key = (len(pattern), is_allow)
-                    # longest pattern wins; tie → Allow wins
-                    if best is None or key > best:
-                        best = key
-            except re.error:  # pragma: no cover - escaped patterns can't
-                continue
-        return True if best is None else best[1]
+        return allowed_compiled(compile_rules(robots_text, agent), path)
     except Exception:  # pragma: no cover - belt and braces: fail open
         return True

@@ -57,3 +57,24 @@ def test_empty_disallow_means_no_rule():
 @given(st.text(max_size=300), st.text(max_size=30), st.text(max_size=60))
 def test_allowed_total_over_garbage(text, agent, path):
     assert allowed(text, agent, path) in (True, False)  # never raises
+
+
+def test_duplicate_groups_merge_per_rfc():
+    """RFC 9309 §2.2.1: all groups matching the chosen agent merge —
+    repeated User-agent lines must not shadow each other."""
+    r = "User-agent: *\nDisallow: /a\nUser-agent: *\nDisallow: /b\n"
+    assert not allowed(r, "bot", "/a/x")
+    assert not allowed(r, "bot", "/b/x")  # second * group must apply too
+    r2 = ("User-agent: goosebot\nDisallow: /a\n"
+          "User-agent: goosebot\nDisallow: /b\n")
+    assert not allowed(r2, "goosebot/2", "/a/x")
+    assert not allowed(r2, "goosebot/2", "/b/x")
+
+
+def test_compiled_fast_path_matches_allowed():
+    from gooselite.robots import allowed_compiled, compile_rules
+
+    r = "User-agent: *\nDisallow: /p\nAllow: /p/ok\n"
+    c = compile_rules(r, "bot")
+    for p in ("/p/x", "/p/ok/y", "/q"):
+        assert allowed_compiled(c, p) == allowed(r, "bot", p)
