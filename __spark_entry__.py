@@ -158,6 +158,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pii_redact": FL.q_pii_redact,
         "q_repetition_filter": FL.q_repetition_filter,
         "q_domain_cap": FL.q_domain_cap,
+        "q_decontaminate": FL.q_decontaminate,
         "q_chunk_windows": T.q_chunk_windows,
         "q_pack_sequences": T.q_pack_sequences,
         # similarity search / embedding ops
@@ -237,6 +238,7 @@ def oracle_sql() -> dict[str, str]:
         "q_pii_redact": FL.ORACLE_PII_REDACT,
         "q_repetition_filter": FL.ORACLE_REPETITION_FILTER,
         "q_domain_cap": FL.ORACLE_DOMAIN_CAP,
+        "q_decontaminate": FL.ORACLE_DECONTAMINATE,
         "q_image_decode": IM.ORACLE_IMAGE_DECODE,
         "q_audio_features": AU.ORACLE_AUDIO_FEATURES,
         "q_video_frames": V.ORACLE_VIDEO_FRAMES,

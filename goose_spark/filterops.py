@@ -209,3 +209,64 @@ SELECT doc_id, domain, CAST(rnk AS BIGINT) AS rnk,
        rnk <= {DOMAIN_CAP} AS kept
 FROM t
 """
+
+
+# -------------------------------------------------- decontamination -----
+# Benchmark decontamination: flag training documents that share any
+# word-K-gram with an eval set. The eval set here is synthesized
+# deterministically (every EVAL_STEP-th document plays the benchmark),
+# so the oracle can rebuild it; in production it is the actual eval
+# suite — tiny relative to the corpus, hence the broadcast shape.
+DECON_K = 8
+EVAL_STEP = 50  # doc_id % EVAL_STEP == 0 → eval doc
+
+
+def _ngram_expr(k: int):
+    """Word k-grams as an array column; the token array is bound once
+    (single-element-array transform) — see _BIGRAMS for why."""
+    return F.expr(
+        "flatten(transform(array(" + _WORDS + "), w -> CASE"
+        f" WHEN size(w) < {k} THEN array()"
+        f" ELSE transform(sequence(1, size(w) - {k} + 1),"
+        f"      i -> concat_ws(' ', slice(w, i, {k}))) END))")
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc eval-overlap verdict: n-grams of every EVAL_STEP-th doc
+    form the eval set (distinct, broadcast); every doc is flagged with
+    its hit count. Scale shape: the train side explodes k-grams but
+    joins them against the BROADCAST eval set (no shuffle of the
+    exploded rows); the only exchange is the (doc_id, count) partial
+    aggregation. At 10^12 docs swap the exact strings for xxhash64 of
+    the n-gram — same plan, 8-byte keys."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    grams = d.select("doc_id", F.explode(_ngram_expr(DECON_K)).alias("g"))
+    eval_set = (grams.filter(F.col("doc_id") % EVAL_STEP == 0)
+                .select("g").distinct())
+    hits = (grams.join(F.broadcast(eval_set), "g")
+            .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_hits")))
+    return (d.select("doc_id").join(hits, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+                    (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated")))
+
+
+ORACLE_DECONTAMINATE = f"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+  FROM documents),
+g AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(w) < {DECON_K} THEN []
+                ELSE list_transform(generate_series(1, len(w) - {DECON_K} + 1),
+                     i -> array_to_string(list_slice(w, i, i + {DECON_K} - 1),
+                                          ' ')) END) AS gram
+  FROM t),
+e AS (SELECT DISTINCT gram FROM g WHERE doc_id % {EVAL_STEP} = 0),
+h AS (SELECT g.doc_id, COUNT(*) AS n_hits
+      FROM g JOIN e ON g.gram = e.gram GROUP BY g.doc_id)
+SELECT d.doc_id,
+       COALESCE(h.n_hits, 0) AS n_hits,
+       COALESCE(h.n_hits, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN h ON d.doc_id = h.doc_id
+"""

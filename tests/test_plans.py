@@ -224,3 +224,14 @@ def test_bucketed_anti_join_has_no_exchange(spark):
     finally:
         spark.sql("DROP TABLE IF EXISTS pages_aj_t")
         spark.sql("DROP TABLE IF EXISTS ckpt_aj_t")
+
+
+def test_decontaminate_broadcasts_eval_set(spark):
+    """The exploded train-side n-grams must join the eval set as a
+    broadcast — shuffling the exploded rows would be the 100 TB
+    bottleneck."""
+    from goose_spark import filterops as FL
+
+    plan = _plan(FL.q_decontaminate(spark, SF))
+    assert "EvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
