@@ -78,6 +78,16 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
         if prev_sum is not None and cur_sum == prev_sum:
             break
         prev_sum = cur_sum
+    else:
+        # Degrade loudly (house rule): hitting max_iter before the
+        # label-sum fixpoint means some component deeper than max_iter
+        # rounds still carries non-minimal keeper labels. Silent wrong
+        # groups poison the dedupe downstream, so refuse.
+        raise RuntimeError(
+            f"connected_components: no fixpoint after {max_iter} "
+            f"iterations (label sum still changing: {prev_sum} -> "
+            f"{cur_sum}); raise max_iter or check the edge graph for "
+            "adversarial long chains")
     return labels
 
 

@@ -147,8 +147,8 @@ WITH w AS (
          unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
   FROM documents),
 wc AS (SELECT doc_id, w, COUNT(*) AS c FROM w GROUP BY doc_id, w),
-ws AS (SELECT doc_id, SUM(c) AS n_words, COUNT(*) AS n_distinct,
-              MAX(c) AS top_w
+ws AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
+              COUNT(*) AS n_distinct, MAX(c) AS top_w
        FROM wc GROUP BY doc_id),
 toks AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS l
          FROM documents),
@@ -159,7 +159,7 @@ b AS (
                                     i -> l[i] || ' ' || l[i + 1]) END) AS b
   FROM toks),
 bc AS (SELECT doc_id, b, COUNT(*) AS c FROM b GROUP BY doc_id, b),
-bs AS (SELECT doc_id, SUM(c) AS n_bigrams, MAX(c) AS top_b
+bs AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams, MAX(c) AS top_b
        FROM bc GROUP BY doc_id)
 SELECT ws.doc_id, n_words, n_distinct,
        ROUND(CAST(top_w AS DOUBLE) / n_words, 6) AS top_word_frac,
@@ -208,6 +208,83 @@ SELECT doc_id, domain, CAST(rnk AS BIGINT) AS rnk,
        CAST(domain_total AS BIGINT) AS domain_total,
        rnk <= {DOMAIN_CAP} AS kept
 FROM t
+"""
+
+
+def precap_domains(df: DataFrame, cap: int,
+                   flush_rows: int = 50_000) -> DataFrame:
+    """Hot-domain pre-cap (the map-side combiner the module docstring
+    promises): per INPUT partition, keep only the top-`cap` rows of each
+    domain by (n_chars desc, doc_id asc) — so the domain-keyed shuffle
+    that feeds the global ranking window carries at most
+    O(cap × input-tasks) rows per domain, no matter how hot the domain
+    (a wordpress.com at CC scale). AQE's skew handling cannot split a
+    window partition, so this bound is the pipeline's job.
+
+    Shape: ONE mapInPandas pass, ZERO shuffle (plan-asserted in
+    tests/test_plans.py). The per-partition accumulator re-caps itself
+    every `flush_rows` rows, so memory is bounded by
+    O(cap × domains-in-partition + flush_rows) regardless of partition
+    size. Exactness: the ordering is total (doc_id tie-break), and the
+    global top-`cap` of a domain is contained in the union of
+    per-partition top-`cap`s — the pre-cap never drops a keeper.
+    Columns: (doc_id, n_chars, domain) only — the wide text column never
+    enters this path.
+    """
+    cols = ["doc_id", "n_chars", "domain"]
+    df = df.select(*cols)
+
+    def fn(batches):
+        import pandas as pd
+
+        def recap(frames):
+            acc = pd.concat(frames, ignore_index=True)
+            acc = acc.sort_values(
+                ["n_chars", "doc_id"], ascending=[False, True],
+                kind="mergesort")
+            return acc.groupby("domain", sort=False).head(cap)
+
+        parts: list = []
+        n = 0
+        for pdf in batches:
+            parts.append(pdf)
+            n += len(pdf)
+            if n > flush_rows:
+                parts = [recap(parts)]
+                n = len(parts[0])
+        if parts:
+            yield recap(parts)
+
+    return df.mapInPandas(fn, df.schema)
+
+
+def q_domain_cap_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The kept set of the domain cap, computed THROUGH the hot-domain
+    pre-cap: precap_domains (zero-shuffle combiner) → one domain-keyed
+    window over the bounded survivor set → rnk <= CAP. Same keepers as
+    q_domain_cap's kept=true rows (pytest-asserted with a planted hot
+    domain), but the window input is O(CAP × tasks) per domain instead
+    of the raw domain frequency — the shape that survives 10^12 rows."""
+    d = load(spark, sf_dir, "documents")
+    dom = F.expr(_DOMAIN_SYNTH_T.format(S="STRING"))
+    capped = precap_domains(
+        d.select("doc_id", "n_chars", dom.alias("domain")), DOMAIN_CAP)
+    win = Window.partitionBy("domain").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc())
+    return (capped.withColumn("rnk", F.row_number().over(win))
+            .filter(F.col("rnk") <= DOMAIN_CAP)
+            .select("doc_id", "domain",
+                    F.col("rnk").cast("long").alias("rnk")))
+
+
+ORACLE_DOMAIN_CAP_KEPT = f"""
+WITH t AS (
+  SELECT doc_id, {_DOMAIN_SYNTH_T.format(S='VARCHAR')} AS domain,
+         ROW_NUMBER() OVER (PARTITION BY {_DOMAIN_SYNTH_T.format(S='VARCHAR')}
+                            ORDER BY n_chars DESC, doc_id) AS rnk
+  FROM documents)
+SELECT doc_id, domain, CAST(rnk AS BIGINT) AS rnk
+FROM t WHERE rnk <= {DOMAIN_CAP}
 """
 
 

@@ -35,7 +35,7 @@ EPOCH = datetime(2025, 1, 1, tzinfo=timezone.utc)
 
 # Bump when the template or stopword tables change: the /tmp cache key
 # includes it, so stale fixtures regenerate instead of mismatching code.
-FIXTURE_VERSION = 6
+FIXTURE_VERSION = 7  # v7: title element-text escaping
 
 # Languages cycled onto a deterministic share of docs so fixtures exercise
 # every shipped stopword table (VERDICT r1 item 3), beyond the seed
@@ -145,6 +145,11 @@ def _render(doc_id: int, built: dict, page_lang_attr: str, charset: str,
     # entity-decodes attribute values, so goldens are unaffected for
     # quote-free corpora and now CORRECT for quote-bearing ones.
     esc = lambda s: html_mod.escape(str(s), quote=True)
+    # Element-text interpolation needs the same care (quote=False is
+    # enough outside attributes): a title token containing '&' or '<'
+    # would otherwise desync the rendered page from expected_title.
+    # The parser entity-decodes text nodes, so goldens round-trip.
+    title_tag = html_mod.escape(title_tag, quote=False)
     og = (f'<meta property="og:title" content="{esc(built["title"])}">\n'
           if og_title else "")
     pub = (f'<meta property="article:published_time" content="{esc(publish_date)}">\n'

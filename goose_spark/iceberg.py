@@ -70,7 +70,8 @@ PARTITIONED BY (bucket(1024, url))
 # with append + read-side distinct() (job.py resume_filter).
 CHECKPOINT_MERGE = """
 MERGE INTO {catalog}.checkpoint t
-USING {batch_view} s
+USING (SELECT run_id, url, MAX(completed_ts) AS completed_ts
+       FROM {batch_view} GROUP BY run_id, url) s
 ON  t.run_id = s.run_id AND t.url = s.url
 WHEN NOT MATCHED THEN
   INSERT (run_id, url, completed_ts)
@@ -84,10 +85,16 @@ WHEN NOT MATCHED THEN
 # The NOT EXISTS must be evaluated against the PRE-statement target
 # snapshot (both MERGE and a single INSERT..SELECT statement guarantee
 # this), which is what makes replays no-ops rather than dup inserts.
+# NOT EXISTS only guards against rows already in the TARGET; duplicate
+# (run_id, url) rows WITHIN one batch (task retries re-listing a url)
+# would all insert, so both statements pre-collapse the source with a
+# GROUP BY on the key — the same .distinct() the local path applies in
+# job.py resume_filter.
 CHECKPOINT_MERGE_PORTABLE = """
 INSERT INTO {checkpoint_table} (run_id, url, completed_ts)
 SELECT s.run_id, s.url, s.completed_ts
-FROM {batch_view} s
+FROM (SELECT run_id, url, MAX(completed_ts) AS completed_ts
+      FROM {batch_view} GROUP BY run_id, url) s
 WHERE NOT EXISTS (
   SELECT 1 FROM {checkpoint_table} t
   WHERE t.run_id = s.run_id AND t.url = s.url

@@ -245,10 +245,12 @@ def _object_spans(data: bytes) -> dict[int, bytes]:
         end = data.find(b"endobj", m.end())
         if end < 0:
             end = len(data)
-        # skip matches inside another object's stream data: the body we
-        # slice may contain binary that spells "N 0 obj"; last-wins keeps
-        # real (later, top-level) definitions without a full xref parse
-        out.setdefault(int(m.group(1)), data[m.end():end])
+        # A match inside an earlier object's (compressed) stream can
+        # spell "N 0 obj"; last-wins keeps the real later top-level
+        # definition without a full xref parse, and also honors
+        # incremental-update PDFs where a later object supersedes an
+        # earlier one with the same number.
+        out[int(m.group(1))] = data[m.end():end]
     return out
 
 

@@ -86,3 +86,19 @@ def test_rendered_statements_shape():
     assert any("bucket(1024, url)" in d and "checkpoint" in d for d in ddls)
     # pages and checkpoint share the url bucketing (shuffle-free anti-join)
     assert sum("bucket(1024, url)" in d for d in ddls) == 2
+
+
+def test_within_batch_duplicates_collapse(con):
+    """Duplicate (run_id, url) rows WITHIN one batch (task retries
+    re-listing a url) must land exactly once: NOT EXISTS only guards
+    against rows already in the target, so the statement pre-collapses
+    the source with a GROUP BY (ADVICE r3)."""
+    con.execute("INSERT INTO batch_urls VALUES "
+                "('r9','u1',now()), ('r9','u1',now()), ('r9','u2',now())")
+    con.execute(checkpoint_merge_portable_sql())
+    n = con.execute("SELECT COUNT(*) FROM checkpoint "
+                    "WHERE run_id='r9'").fetchone()[0]
+    assert n == 2
+    n1 = con.execute("SELECT COUNT(*) FROM checkpoint "
+                     "WHERE run_id='r9' AND url='u1'").fetchone()[0]
+    assert n1 == 1

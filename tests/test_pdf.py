@@ -170,3 +170,28 @@ def test_pdf_probe_values_spark(spark):
                 F.trim(F.regexp_replace("text", r"\s+", " ")).alias("n")
             ).collect()}
     assert got == want and len(got) > 0
+
+
+def test_object_spans_last_definition_wins():
+    """A byte run spelling 'N 0 obj' inside an earlier object's stream —
+    or a superseded object in an incremental-update PDF — must not
+    shadow the real later definition (ADVICE r3: last-wins)."""
+    from gooselite.pdftext import _object_spans
+
+    data = (b"1 0 obj\n<< /Length 20 >>\nstream\n"
+            b"garbage 5 0 obj junk\nendstream\nendobj\n"
+            b"5 0 obj\n<< /Real true >>\nendobj\n")
+    spans = _object_spans(data)
+    assert b"/Real true" in spans[5]
+    assert b"junk" not in spans[5]
+
+
+def test_incremental_update_supersedes():
+    """Incremental-update PDFs append a new generation of an object at
+    the end of the file; the appended (later) body is the live one."""
+    from gooselite.pdftext import _object_spans
+
+    data = (b"3 0 obj\n<< /Old true >>\nendobj\n"
+            b"3 0 obj\n<< /New true >>\nendobj\n")
+    spans = _object_spans(data)
+    assert b"/New true" in spans[3]

@@ -235,3 +235,24 @@ def test_decontaminate_broadcasts_eval_set(spark):
     plan = _plan(FL.q_decontaminate(spark, SF))
     assert "EvalPython" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_domain_cap_precap_zero_shuffle_combiner(spark):
+    """precap_domains is a map-side combiner: ONE MapInPandas, ZERO
+    exchanges; q_domain_cap_kept adds exactly one domain-keyed exchange
+    for the final window over the bounded survivor set."""
+    from goose_spark import filterops as FL
+    from goose_spark.queries import load
+
+    d = load(spark, SF, "documents")
+    dom = F.expr(FL._DOMAIN_SYNTH_T.format(S="STRING"))
+    pre = FL.precap_domains(
+        d.select("doc_id", "n_chars", dom.alias("domain")), FL.DOMAIN_CAP)
+    tree = _plan(pre).split("\n\n")[0]
+    assert tree.count("Exchange") == 0
+    assert tree.count("MapInPandas") == 1
+
+    full = _plan(FL.q_domain_cap_kept(spark, SF)).split("\n\n")[0]
+    assert full.count("Exchange") == 1
+    assert full.count("MapInPandas") == 1
+    assert "Window" in full

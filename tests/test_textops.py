@@ -179,6 +179,21 @@ def test_connected_components_long_chain(spark):
     assert got == {i: 0 for i in range(n)}
 
 
+def test_connected_components_unconverged_raises(spark):
+    """Hitting max_iter before the label-sum fixpoint must degrade
+    LOUDLY (ADVICE r3): a 6-node path cannot converge in 2 rounds."""
+    import pytest as _pytest
+
+    from goose_spark.components import connected_components
+
+    n = 6
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src long, dst long")
+    with _pytest.raises(RuntimeError, match="no fixpoint"):
+        connected_components(nodes, edges, max_iter=2).collect()
+
+
 def test_dedup_groups_covers_every_vector(spark):
     """q_dedup_groups: one row per vec_id; keepers are group minima; the
     sf0.001 synthetic embeddings produce at least one multi-node group."""
@@ -224,3 +239,52 @@ def test_simhash_hot_bucket_routes_to_star_edges(spark, monkeypatch):
     got = {r["id"]: r["keeper_id"]
            for r in connected_components(nodes, edges).collect()}
     assert got == {i: 0 for i in range(n)}
+
+
+# --- Hot-domain pre-cap (r4) ---------------------------------------------
+
+def test_precap_planted_hot_domain(spark):
+    """A planted wordpress.com-sized domain: the pre-cap bounds what
+    reaches the window to <= CAP x input-partitions rows for the hot
+    domain, and the final kept set equals q_domain_cap's kept=true rows
+    computed WITHOUT the pre-cap (the combiner never drops a keeper)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from goose_spark.filterops import precap_domains
+
+    cap = 3
+    rows = ([(i, 1000 + i, "hot.example") for i in range(2000)]
+            + [(10_000 + i, 500 + i, f"cold{i % 7}.example")
+               for i in range(70)])
+    df = spark.createDataFrame(
+        rows, "doc_id long, n_chars long, domain string").repartition(8)
+    pre = precap_domains(df, cap)
+    pre_counts = (pre.groupBy("domain").count().toPandas()
+                  .set_index("domain")["count"])
+    assert pre_counts["hot.example"] <= cap * 8  # bounded by cap x tasks
+    # exactness: window over the pre-capped set == window over all rows
+    win = Window.partitionBy("domain").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc())
+    kept_pre = {tuple(r) for r in
+                pre.withColumn("rnk", F.row_number().over(win))
+                .filter(F.col("rnk") <= cap)
+                .select("doc_id", "domain", "rnk").collect()}
+    kept_all = {tuple(r) for r in
+                df.withColumn("rnk", F.row_number().over(win))
+                .filter(F.col("rnk") <= cap)
+                .select("doc_id", "domain", "rnk").collect()}
+    assert kept_pre == kept_all
+
+
+def test_precap_accumulator_flush_is_exact(spark):
+    """The bounded-memory re-cap path (flush_rows smaller than the
+    partition) must not change results."""
+    from goose_spark.filterops import precap_domains
+
+    rows = [(i, i % 97, f"d{i % 5}") for i in range(3000)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, n_chars long, domain string").coalesce(1)
+    small = precap_domains(df, 4, flush_rows=100).collect()
+    big = precap_domains(df, 4, flush_rows=1_000_000).collect()
+    assert sorted(map(tuple, small)) == sorted(map(tuple, big))
