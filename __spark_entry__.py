@@ -8,11 +8,14 @@ value-hash → CORRECTNESS_r{N}.json).
 Probe inventory ↔ SURVEY.md §2.6 Part B + the training-data operators
 (dedup / similarity / text analysis / ingestion / modality / filters).
 Rows-only probes (no oracle entry): q_udf_extract (B17),
-q_approx_distinct (B9), q_minhash_pairs, q_simhash, q_simhash_pairs,
-q_multimodal_stub, q_stateful_running_max — non-SQL-expressible by
-nature (xxhash64/HLL/stub/stream-state); each has a pytest asserting
-semantics instead. q_lang_id and q_ann_lsh_buckets graduated to
-oracle-backed in r3 (table-embedded SQL twin; exact-integer bucketing).
+q_approx_distinct (B9), q_simhash_pairs, q_multimodal_stub,
+q_stateful_running_max — non-SQL-expressible by nature
+(HLL/stub/stream-state/banded-hot-bucket routing); each has a pytest
+asserting semantics instead. q_lang_id and q_ann_lsh_buckets graduated
+to oracle-backed in r3 (table-embedded SQL twin; exact-integer
+bucketing); q_minhash_pairs and q_simhash graduated in r4 (md5int60 +
+integer-permutation signatures, md5-prefix band keys — every hash step
+has an exact DuckDB twin).
 The ANN scale-path probes (q_ann_lsh_probe, q_ann_ivf_probe)
 ARE oracle-backed: their bucketing/argmax math is engineered to be
 engine-exact (goose_spark/ann.py). q_ann_cosine_topk's oracle is
@@ -239,6 +242,8 @@ def oracle_sql() -> dict[str, str]:
         "q_token_bpeish": T.ORACLE_TOKEN_BPEISH,
         "q_quality_score": T.ORACLE_QUALITY_SCORE,
         "q_fingerprint": T.ORACLE_FINGERPRINT,
+        "q_minhash_pairs": T.ORACLE_MINHASH_PAIRS,
+        "q_simhash": T.ORACLE_SIMHASH,
         "q_ngram_jaccard": T.ORACLE_NGRAM_JACCARD,
         "q_url_normalize": T.ORACLE_URL_NORMALIZE,
         "q_gopher_rules": T.ORACLE_GOPHER_RULES,

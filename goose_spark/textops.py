@@ -152,22 +152,45 @@ def _shingles(col: str = "text"):
     )[0]
 
 
+# Universal-hash permutation constants, shared verbatim with the DuckDB
+# oracle. h_p(s) = (A[p] * m(s) + B[p]) mod P over the 31-bit base hash
+# m(s) = md5int60(s) mod P — every step is exact int64 arithmetic in
+# both engines (A[p] * m < 2^62), which is what lets q_minhash_pairs be
+# value-hash-gated instead of rows-only (r3 VERDICT item 4).
+_MH_P = 2147483647  # 2^31 - 1 (Mersenne prime)
+_MH_A = [(2 * p + 1) * 12582917 % _MH_P for p in range(N_PERM)]
+_MH_B = [(p + 1) * 31415927 % _MH_P for p in range(N_PERM)]
+
+# 60-bit integer from the md5 hex prefix: identical in Spark
+# (conv(substr(md5 ..))) and DuckDB (CAST('0x' || substr(md5 ..)));
+# cross-engine equality is pytest-asserted including unicode input.
+_MD5INT60_SPARK = "cast(conv(substr(md5({x}),1,15),16,10) as bigint)"
+
+
 def minhash_signatures(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """doc → 32-permutation MinHash signature, entirely in codegen:
-    sig[p] = min over shingles of xxhash64(shingle, p).
+    sig[p] = min over shingles of (A[p]·md5int60(shingle) + B[p]) mod P.
 
-    Measured dead end (round 2): hashing each shingle once and deriving
-    the 32 permutations from the 8-byte long (xxhash64(xxhash64(s), p))
-    is NOT faster — interleaved min-of-3 at sf0.1 gave 2.21s (this form)
-    vs 2.38s (pre-hashed); the cost is the 32 × |shingles| expression
-    evaluations, not the string bytes, and the pre-hash adds an extra
-    array materialization. Keep the simpler single-expression form."""
+    One string hash per shingle + 32 integer linear permutations. The
+    r2-measured dead end (pre-hash with xxhash64(xxhash64(s), p): 2.38s
+    vs 2.21s inline at sf0.1) does NOT apply to this form: the md5 is
+    ~4× the cost of an xxhash64, so hashing the string ONCE and
+    permuting integers beats 32 per-string hashes — and, unlike
+    xxhash64, md5 has a DuckDB twin, which graduates the probe from
+    rows-only to value-hash-gated."""
     with_sh = docs.select(id_col, _shingles().alias("sh"))
+    pre = with_sh.select(
+        id_col,
+        F.expr("transform(sh, s -> "
+               + _MD5INT60_SPARK.format(x="s")
+               + f" % {_MH_P})").alias("hs"))
     sig_cols = [
-        F.array_min(F.expr(f"transform(sh, s -> xxhash64(s, {p}))")).alias(f"h{p}")
+        F.array_min(F.expr(
+            f"transform(hs, m -> (cast({_MH_A[p]} as bigint) * m"
+            f" + {_MH_B[p]}) % {_MH_P})")).alias(f"h{p}")
         for p in range(N_PERM)
     ]
-    return with_sh.select(id_col, F.array(*sig_cols).alias("sig"))
+    return pre.select(id_col, F.array(*sig_cols).alias("sig"))
 
 
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -179,8 +202,12 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle arrays; shingles join back in ONLY for the (rare) candidate
     pairs that survive banding, so the wide data rides one narrow
     broadcast-sized join instead of an 8×-exploded shuffle.
-    rows-only probe (LSH is not SQL-expressible in the oracle engine);
-    recall on planted near-dups asserted in pytest.
+
+    Oracle-backed since r4: the signature hash is the engine-exact
+    md5int60 + integer permutations (see minhash_signatures) and the
+    band key is an md5 hex prefix, so the DuckDB twin reproduces the
+    candidate set bit-for-bit; planted-dup recall additionally asserted
+    in pytest.
     """
     # small local files scan as ONE task; spread the CPU-heavy shingle +
     # 32-permutation hashing over all cores (at 100 TB the scan itself
@@ -195,10 +222,12 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(*[
                 F.struct(
                     F.lit(b).alias("band_id"),
-                    F.xxhash64(F.concat_ws(",", *[
+                    # md5 hex prefix = engine-exact 8-byte band key (at
+                    # deploy scale swap for xxhash64 — same plan shape)
+                    F.substring(F.md5(F.concat_ws(",", *[
                         F.col("sig")[b * rows_per_band + r].cast("string")
                         for r in range(rows_per_band)
-                    ])).alias("band_hash"),
+                    ])), 1, 16).alias("band_hash"),
                 )
                 for b in range(LSH_BANDS)
             ])
@@ -228,6 +257,50 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", "jaccard")
     )
     return verified
+
+
+def _oracle_minhash_pairs() -> str:
+    """DuckDB twin of q_minhash_pairs: same shingles, same md5int60 base
+    hash, same {A,B} mod-P permutations, same md5-prefix band keys —
+    every step exact integer/string arithmetic, so the candidate set and
+    jaccard values hash-match bit-for-bit."""
+    split = "string_split_regex(trim(text), '\\s+')"
+    shingles = (
+        f"list_transform(range(1, greatest(len({split}) - {SHINGLE_K}, 0) + 2),"
+        f" i -> array_to_string(list_slice({split}, i, i + {SHINGLE_K} - 1), ' '))"
+    )
+    base = f"CAST(concat('0x', substr(md5(s),1,15)) AS BIGINT) % {_MH_P}"
+    sig = ", ".join(
+        f"list_min(list_transform(ms, m -> ({_MH_A[p]} * m + {_MH_B[p]}) % {_MH_P}))"
+        for p in range(N_PERM))
+    rpb = N_PERM // LSH_BANDS
+    return f"""
+WITH t AS (SELECT doc_id, {shingles} AS sh FROM documents),
+hs AS (SELECT doc_id, sh,
+              list_transform(sh, s -> {base}) AS ms FROM t),
+sig AS (SELECT doc_id, [{sig}] AS sig FROM hs),
+bands AS (
+  SELECT doc_id, r.b AS band_id,
+         substr(md5(array_to_string(
+           list_slice(sig, r.b * {rpb} + 1, r.b * {rpb} + {rpb}), ',')),
+           1, 16) AS band_hash
+  FROM sig, range(0, {LSH_BANDS}) r(b)),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+  FROM bands a JOIN bands b2 USING (band_id, band_hash)
+  WHERE a.doc_id < b2.doc_id),
+j AS (
+  SELECT p.id_a, p.id_b,
+         ROUND(len(list_intersect(sa.sh, sb.sh))::DOUBLE
+               / len(list_distinct(list_concat(sa.sh, sb.sh))), 4) AS jaccard
+  FROM pairs p
+  JOIN t sa ON sa.doc_id = p.id_a
+  JOIN t sb ON sb.doc_id = p.id_b)
+SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.8
+"""
+
+
+ORACLE_MINHASH_PAIRS = _oracle_minhash_pairs()
 
 
 # ------------------------------------------------------- n-gram Jaccard ----
@@ -302,12 +375,53 @@ def _simhash_kernel(texts: pd.Series) -> pd.Series:
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash fingerprints (rows-only probe; hamming-dedup tested in pytest).
-    UDF constructed lazily — pandas_udf return-type parsing needs a live
-    session."""
+    """SimHash fingerprints. Oracle-backed since r4: the kernel's token
+    hash was md5-based all along, so the DuckDB twin recomputes the
+    bit votes in SQL and hash-matches the int64 fingerprint exactly
+    (hamming-dedup additionally tested in pytest). UDF constructed
+    lazily — pandas_udf return-type parsing needs a live session."""
     simhash64 = pandas_udf(_simhash_kernel, "long")
     d = load(spark, sf_dir, "documents")
     return d.select("doc_id", simhash64("text").alias("simhash"))
+
+
+# DuckDB twin of _simhash_kernel: per token, uint64 from the first 16
+# md5 hex chars (big-endian first 8 digest bytes — matches
+# int.from_bytes(digest[:8], 'big')); per bit, votes = ones*2 - n > 0;
+# the uint64 sum of winning bits is two's-complement-wrapped to the
+# kernel's int64. Python str.split() ≡ regex \\s+ split of the trimmed
+# string for this ASCII-spaced corpus; docs with no tokens score 0.
+ORACLE_SIMHASH = """
+WITH tk AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS tks
+  FROM documents),
+tok AS (
+  SELECT doc_id, unnest(tks) AS w FROM tk
+  WHERE len(tks) > 0 AND NOT (len(tks) = 1 AND tks[1] = '')),
+h AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(w), 1, 16)) AS UBIGINT) AS hv
+  FROM tok),
+votes AS (
+  SELECT doc_id, r.i,
+         SUM(CASE WHEN (hv >> CAST(r.i AS INTEGER)) & 1 = 1
+                  THEN 1 ELSE -1 END) AS v
+  FROM h, range(0, 64) r(i)
+  GROUP BY doc_id, r.i),
+sims AS (
+  SELECT doc_id,
+         SUM(CASE WHEN v > 0
+                  THEN CAST(CAST(1 AS UBIGINT) << CAST(i AS INTEGER)
+                            AS HUGEINT)
+                  ELSE 0 END) AS s
+  FROM votes GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(
+         CASE WHEN s >= 9223372036854775808
+              THEN s - 18446744073709551616 ELSE s END,
+         0) AS BIGINT) AS simhash
+FROM documents d LEFT JOIN sims USING (doc_id)
+"""
 
 
 SIMHASH_BANDS = 4   # 4 × 16-bit bands: hamming ≤ 3 ⇒ ≥ 1 band identical

@@ -83,9 +83,11 @@ def test_rows_only_probes_run(spark):
     qs = entry.queries()
     oracles = entry.oracle_sql()
     rows_only = [n for n in qs if n not in oracles]
-    # q_lang_id / q_ann_lsh_buckets graduated to oracle-backed in r3
-    assert set(rows_only) >= {"q_udf_extract", "q_minhash_pairs", "q_simhash",
+    # q_lang_id / q_ann_lsh_buckets graduated to oracle-backed in r3;
+    # q_minhash_pairs / q_simhash in r4 (md5-exact hashing)
+    assert set(rows_only) >= {"q_udf_extract", "q_simhash_pairs",
                               "q_multimodal_stub", "q_approx_distinct"}
-    for name in ("q_approx_distinct", "q_simhash", "q_multimodal_stub"):
+    assert {"q_minhash_pairs", "q_simhash"} <= set(oracles)
+    for name in ("q_approx_distinct", "q_simhash_pairs", "q_multimodal_stub"):
         df = qs[name](spark, SF_DIR)
         assert df.count() >= 0 and len(df.columns) >= 1, name

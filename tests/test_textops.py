@@ -288,3 +288,24 @@ def test_precap_accumulator_flush_is_exact(spark):
     small = precap_domains(df, 4, flush_rows=100).collect()
     big = precap_domains(df, 4, flush_rows=1_000_000).collect()
     assert sorted(map(tuple, small)) == sorted(map(tuple, big))
+
+
+# --- md5int60 exactness (r4 minhash/simhash graduation) -------------------
+
+def test_md5int60_cross_engine_exact(spark):
+    """The md5-derived 60-bit base hash (and its mod-P reduction) must be
+    bit-identical between Spark and DuckDB, including unicode and empty
+    strings — the foundation of the oracle-backed minhash probe."""
+    import duckdb
+
+    from goose_spark.textops import _MD5INT60_SPARK, _MH_P
+
+    words = ["hello", "a b c", "caf\xe9 x", "", "  spaced  ", "über"]
+    df = spark.createDataFrame([(w,) for w in words], "s string")
+    got = [r[0] for r in df.selectExpr(
+        _MD5INT60_SPARK.format(x="s") + f" % {_MH_P}").collect()]
+    con = duckdb.connect()
+    want = [con.execute(
+        f"SELECT CAST(concat('0x', substr(md5(?),1,15)) AS BIGINT) % {_MH_P}",
+        [w]).fetchone()[0] for w in words]
+    assert got == want
