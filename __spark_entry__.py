@@ -8,14 +8,14 @@ value-hash → CORRECTNESS_r{N}.json).
 Probe inventory ↔ SURVEY.md §2.6 Part B + the training-data operators
 (dedup / similarity / text analysis / ingestion / modality / filters).
 Rows-only probes (no oracle entry): q_udf_extract (B17),
-q_approx_distinct (B9), q_simhash_pairs, q_multimodal_stub,
-q_stateful_running_max — non-SQL-expressible by nature
-(HLL/stub/stream-state/banded-hot-bucket routing); each has a pytest
-asserting semantics instead. q_lang_id and q_ann_lsh_buckets graduated
-to oracle-backed in r3 (table-embedded SQL twin; exact-integer
-bucketing); q_minhash_pairs and q_simhash graduated in r4 (md5int60 +
-integer-permutation signatures, md5-prefix band keys — every hash step
-has an exact DuckDB twin).
+q_approx_distinct (B9), q_multimodal_stub, q_stateful_running_max,
+q_decontaminate_hashed — non-SQL-expressible by nature
+(HLL/stub/stream-state/xxhash64 keys); each has a pytest asserting
+semantics instead. q_lang_id and q_ann_lsh_buckets graduated to
+oracle-backed in r3 (table-embedded SQL twin; exact-integer bucketing);
+q_minhash_pairs, q_simhash, and q_simhash_pairs graduated in r4
+(md5int60 + integer-permutation signatures, md5-prefix band keys,
+brute-force hamming twin — every hash step has an exact DuckDB twin).
 The ANN scale-path probes (q_ann_lsh_probe, q_ann_ivf_probe)
 ARE oracle-backed: their bucketing/argmax math is engineered to be
 engine-exact (goose_spark/ann.py). q_ann_cosine_topk's oracle is
@@ -149,7 +149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_fingerprint": T.q_fingerprint,
         "q_minhash_pairs": T.q_minhash_pairs,
         "q_simhash": T.q_simhash,
-        "q_simhash_pairs": T.q_simhash_pairs,              # rows-only
+        "q_simhash_pairs": T.q_simhash_pairs,
         "q_lang_id": T.q_lang_id,
         "q_ngram_jaccard": T.q_ngram_jaccard,
         "q_url_normalize": T.q_url_normalize,
@@ -199,6 +199,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_json": Q.q_json,
         "q_salt_invariance": Q.q_salt_invariance,
         "q_multimodal_stub": T.q_multimodal_stub,          # rows-only
+        # 8-byte-key decontamination (the 10^12-row shape; rows-only —
+        # xxhash64 has no DuckDB twin; equality vs the string-key
+        # version is pytest-asserted)
+        "q_decontaminate_hashed": FL.q_decontaminate_hashed,
     }
 
 
@@ -244,6 +248,7 @@ def oracle_sql() -> dict[str, str]:
         "q_fingerprint": T.ORACLE_FINGERPRINT,
         "q_minhash_pairs": T.ORACLE_MINHASH_PAIRS,
         "q_simhash": T.ORACLE_SIMHASH,
+        "q_simhash_pairs": T.ORACLE_SIMHASH_PAIRS,
         "q_ngram_jaccard": T.ORACLE_NGRAM_JACCARD,
         "q_url_normalize": T.ORACLE_URL_NORMALIZE,
         "q_gopher_rules": T.ORACLE_GOPHER_RULES,

@@ -328,6 +328,30 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated")))
 
 
+def q_decontaminate_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 10^12-row shape of q_decontaminate (r3 VERDICT item 6): every
+    n-gram is xxhash64-reduced to an 8-byte key BEFORE the join, so the
+    exploded train side carries (doc_id, int64) instead of ~50-byte
+    strings and the broadcast eval set is 8 bytes/entry — at 10^12 rows
+    that is the difference between a broadcastable eval set and one that
+    forces a shuffle. Plan shape identical to the string-key version
+    (broadcast preserved, plan-asserted in tests/test_plans.py); output
+    identical up to xxhash64 collisions (P ≈ n_eval·n_grams/2^64,
+    negligible — exact equality on the corpus asserted in pytest).
+    Rows-only probe: xxhash64 has no DuckDB twin."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    grams = (d.select("doc_id", F.explode(_ngram_expr(DECON_K)).alias("gs"))
+             .select("doc_id", F.xxhash64("gs").alias("g")))
+    eval_set = (grams.filter(F.col("doc_id") % EVAL_STEP == 0)
+                .select("g").distinct())
+    hits = (grams.join(F.broadcast(eval_set), "g")
+            .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_hits")))
+    return (d.select("doc_id").join(hits, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+                    (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated")))
+
+
 ORACLE_DECONTAMINATE = f"""
 WITH t AS (
   SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w

@@ -535,9 +535,39 @@ def simhash_pairs(docs: DataFrame) -> DataFrame:
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Banded SimHash near-dup pairs over documents (rows-only probe;
-    planted-dup recall asserted in pytest)."""
+    """Banded SimHash near-dup pairs over documents. Oracle-backed since
+    r4: banding is recall-lossless for the hamming ≤ HAMMING_MAX gate
+    (pigeonhole over 4 × 16-bit bands), and at probe SF no bucket
+    exceeds HOT_BUCKET_CAP, so the emitted set is EXACTLY the hamming-
+    gated pair set — which the DuckDB twin recomputes brute-force from
+    the (now engine-exact) simhash fingerprints. The hot-bucket star
+    routing stays pytest-covered (planted hot bucket)."""
     return simhash_pairs(load(spark, sf_dir, "documents"))
+
+
+# DuckDB twin of q_simhash_pairs: recompute the md5-exact fingerprints
+# (same CTE chain as ORACLE_SIMHASH), then the brute-force all-pairs
+# hamming join — O(n²) is fine at oracle SF (500 docs); the Spark plan
+# is the banded O(n·bands) path, asserted equal here. xor/bit_count on
+# negative BIGINTs verified bit-identical across engines (two's
+# complement in both).
+_SIMHASH_CTE = ORACLE_SIMHASH.strip().removeprefix("WITH").rsplit(
+    "SELECT d.doc_id", 1)[0].rstrip()
+
+ORACLE_SIMHASH_PAIRS = f"""
+WITH {_SIMHASH_CTE},
+fp AS (
+  SELECT d.doc_id,
+         CAST(COALESCE(
+           CASE WHEN s >= 9223372036854775808
+                THEN s - 18446744073709551616 ELSE s END,
+           0) AS BIGINT) AS simhash
+  FROM documents d LEFT JOIN sims USING (doc_id))
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}
+"""
 
 
 # ------------------------------------------------------------- lang-id -----

@@ -237,6 +237,18 @@ def test_decontaminate_broadcasts_eval_set(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_decontaminate_hashed_preserves_broadcast(spark):
+    """The xxhash64-key variant must keep the same plan shape: the
+    exploded (now 8-byte-keyed) train side broadcast-joins the eval
+    set — no SortMergeJoin anywhere, no Python evaluation."""
+    from goose_spark import filterops as FL
+
+    plan = _plan(FL.q_decontaminate_hashed(spark, SF))
+    assert "EvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "xxhash64" in plan
+
+
 def test_domain_cap_precap_zero_shuffle_combiner(spark):
     """precap_domains is a map-side combiner: ONE MapInPandas, ZERO
     exchanges; q_domain_cap_kept adds exactly one domain-keyed exchange

@@ -84,10 +84,12 @@ def test_rows_only_probes_run(spark):
     oracles = entry.oracle_sql()
     rows_only = [n for n in qs if n not in oracles]
     # q_lang_id / q_ann_lsh_buckets graduated to oracle-backed in r3;
-    # q_minhash_pairs / q_simhash in r4 (md5-exact hashing)
-    assert set(rows_only) >= {"q_udf_extract", "q_simhash_pairs",
+    # q_minhash_pairs / q_simhash / q_simhash_pairs in r4 (md5-exact
+    # hashing + brute-force hamming twin)
+    assert set(rows_only) >= {"q_udf_extract", "q_decontaminate_hashed",
                               "q_multimodal_stub", "q_approx_distinct"}
-    assert {"q_minhash_pairs", "q_simhash"} <= set(oracles)
-    for name in ("q_approx_distinct", "q_simhash_pairs", "q_multimodal_stub"):
+    assert {"q_minhash_pairs", "q_simhash", "q_simhash_pairs"} <= set(oracles)
+    for name in ("q_approx_distinct", "q_decontaminate_hashed",
+                 "q_multimodal_stub"):
         df = qs[name](spark, SF_DIR)
         assert df.count() >= 0 and len(df.columns) >= 1, name

@@ -290,6 +290,20 @@ def test_precap_accumulator_flush_is_exact(spark):
     assert sorted(map(tuple, small)) == sorted(map(tuple, big))
 
 
+# --- hashed decontamination (r4: the 10^12-row 8-byte-key shape) ----------
+
+def test_decontaminate_hashed_matches_string_keys(spark):
+    """xxhash64-keyed decontamination must produce the exact same
+    verdicts as the string-keyed version on the corpus (collisions are
+    ~2^-64-improbable; any real difference is a bug)."""
+    from goose_spark.filterops import q_decontaminate, q_decontaminate_hashed
+
+    sf = "/root/testdata/sf0.01"
+    a = sorted(map(tuple, q_decontaminate(spark, sf).collect()))
+    b = sorted(map(tuple, q_decontaminate_hashed(spark, sf).collect()))
+    assert a == b
+
+
 # --- md5int60 exactness (r4 minhash/simhash graduation) -------------------
 
 def test_md5int60_cross_engine_exact(spark):
