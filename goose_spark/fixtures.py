@@ -35,15 +35,15 @@ EPOCH = datetime(2025, 1, 1, tzinfo=timezone.utc)
 
 # Bump when the template or stopword tables change: the /tmp cache key
 # includes it, so stale fixtures regenerate instead of mismatching code.
-FIXTURE_VERSION = 7  # v7: title element-text escaping
+FIXTURE_VERSION = 8  # v8: vi/he stopword tables join the spread
 
 # Languages cycled onto a deterministic share of docs so fixtures exercise
 # every shipped stopword table (VERDICT r1 item 3), beyond the seed
 # corpus's en/fr/es/de/zh. 'nb'/'no' share one table; both codes appear.
 # ko/ar/ja/th exercise the segmentation variants (r3); zh rides the seed
-# corpus.
+# corpus; vi/he are the space-delimited r4 additions.
 _SPREAD_LANGS = ("da", "fi", "hu", "id", "it", "nb", "nl", "no", "pl",
-                 "pt", "ru", "sv", "ko", "ar", "ja", "th")
+                 "pt", "ru", "sv", "ko", "ar", "ja", "th", "vi", "he")
 
 # first 8 purely-alphabetic stopwords per language (sorted order) — the
 # paragraph prefix guaranteeing stopword_count >= 6 in every paragraph

@@ -14,8 +14,11 @@ SURVEY.md A8 / §1.1 — Norwegian registered under both its bokmål (nb) and
 legacy (no) codes like the canonical resources dir. The segmentation
 variants zh / ko / ar (the lineage's StopWordsChinese / StopWordsKorean /
 StopWordsArabic) ship as of round 3 with matching tokenizer variants in
-gooselite.text, and ja / th follow with the same max-match machinery;
-truly unknown codes (vi, he, …) still fall back to 'en' with
+gooselite.text, and ja / th follow with the same max-match machinery.
+vi / he (round 4) are space-delimited and need only tables: Vietnamese
+writes spaces between syllables, Hebrew function words are standalone
+tokens (clitic prefixes stay attached — documented per-table). Truly
+unknown codes (vi-nom, yi, …) still fall back to 'en' with
 lang_fallback=True.
 """
 
@@ -335,6 +338,29 @@ _TH = """
 ค่ะ ครับ น่า พอ เพียง ส่วน หนึ่ง สอง ดังนั้น อย่างไร ทำไม เช่น ทั้งนี้
 """
 
+# Vietnamese is written with spaces between syllables, so plain token
+# matching works; the table keeps single-syllable function words (the
+# classic public list's multi-word entries like "bởi vì" can't match a
+# single token and are represented by their head syllable).
+_VI = """
+và của là có được không trong để cho người với những một các này đã khi
+cũng như đến về tại nhiều hơn thì ra nên vì bị do còn nếu mà đó sẽ phải
+năm ngày chỉ lại rất từ sau trước trên dưới bởi cùng theo đang mới vẫn
+đều nhất hay hoặc nữa rồi đây kia ai gì sao đâu nào ta tôi anh chị em
+ông bà họ chúng mình bạn nó thế vậy tuy nhưng dù càng vừa luôn từng
+"""
+
+# Hebrew function words are standalone tokens (the one-letter clitic
+# prefixes ו/ה/ב/ל/מ attach to the following word and are not split by
+# whitespace tokenization, so they are not table entries).
+_HE = """
+של את על לא זה עם כל הוא היא אני אתה אנחנו הם הן גם כי אם או אבל רק
+יש אין מה מי איך למה כאשר אשר בין עד אחרי לפני תחת מעל אצל נגד בלי
+ללא כמו יותר פחות מאוד הרבה קצת כבר עוד פה שם כאן אז לכן כך ככה האם
+אלה אלו אותו אותה אותם אנו הייתי היה היתה היו להיות אל זו זאת שלו שלה
+שלהם שלי שלנו ביותר כדי דרך בגלל למרות אולי תמיד פעם היום אתמול מחר
+"""
+
 STOPWORDS: dict[str, frozenset[str]] = {
     lang: frozenset(words.split())
     for lang, words in (
@@ -343,7 +369,7 @@ STOPWORDS: dict[str, frozenset[str]] = {
         ("da", _DA), ("fi", _FI), ("hu", _HU), ("id", _ID),
         ("nb", _NO), ("no", _NO), ("pl", _PL), ("ru", _RU),
         ("zh", _ZH), ("ko", _KO), ("ar", _AR),
-        ("ja", _JA), ("th", _TH),
+        ("ja", _JA), ("th", _TH), ("vi", _VI), ("he", _HE),
     )
 }
 

@@ -49,8 +49,8 @@ def test_null_html_is_empty_status():
 
 
 def test_lang_column_primary_meta_fallback():
-    # lang column unsupported (vi) + html lang=de → meta fallback applies
-    r = extract_one(_page(lang="de").encode(), "vi", "https://x.example/1")
+    # lang column unsupported (yi) + html lang=de → meta fallback applies
+    r = extract_one(_page(lang="de").encode(), "yi", "https://x.example/1")
     assert r["lang"] == "de"
     # lang column present and supported → wins over meta
     r = extract_one(_page(lang="de").encode(), "en", "https://x.example/1")
@@ -155,8 +155,8 @@ def test_movies_extraction():
 def test_lang_fallback_flag():
     # supported lang column → no fallback
     assert extract_one(_page().encode(), "en", "https://x")["lang_fallback"] is False
-    # vi column + de meta → fallback (meta path)
-    r = extract_one(_page(lang="de").encode(), "vi", "https://x")
+    # yi column + de meta → fallback (meta path; vi got a table in r4)
+    r = extract_one(_page(lang="de").encode(), "yi", "https://x")
     assert r["lang"] == "de" and r["lang_fallback"] is True
     # null column, en meta… html lang="en" resolves via meta path → fallback
     r2 = extract_one(_page().encode(), None, "https://x")
@@ -257,6 +257,48 @@ def test_ar_extraction_end_to_end():
     r = extract_one(html.encode("utf-8"), "ar", "https://x.example/ar")
     assert r["status"] == "ok"
     assert r["lang"] == "ar" and r["lang_fallback"] is False
+    assert r["cleaned_text"] == "\n\n".join(paras)
+
+
+def test_vi_extraction_end_to_end():
+    """A8 r4: Vietnamese writes spaces between syllables, so the plain
+    tokenizer works — only a table was needed; lang_fallback=False."""
+    paras = [
+        "Người trẻ đó đọc sách mỗi ngày vì sách là nguồn tri thức của "
+        "con người và ai cũng có thể học được từ những trang sách đó.",
+        "Không ai biết vì sao anh cố gắng như vậy nhưng mọi người đều "
+        "tin rằng anh sẽ thành công trong tương lai gần đây.",
+        "Ở phía bên kia thành phố các bạn của anh cũng đang làm việc "
+        "cho ước mơ của mình và họ tin rằng chỉ cần kiên trì là được.",
+    ]
+    html = ('<html lang="vi"><head><title>Câu chuyện</title></head><body>'
+            '<div class="article">'
+            + "".join(f"<p>{p}</p>" for p in paras)
+            + "</div></body></html>")
+    r = extract_one(html.encode("utf-8"), "vi", "https://x.example/vi")
+    assert r["status"] == "ok"
+    assert r["lang"] == "vi" and r["lang_fallback"] is False
+    assert r["cleaned_text"] == "\n\n".join(paras)
+
+
+def test_he_extraction_end_to_end():
+    """A8 r4: Hebrew function words are standalone tokens (clitic
+    prefixes stay attached), so the plain tokenizer works."""
+    paras = [
+        "הסטודנט קרא ספרים בספרייה כל יום כי הקריאה היא הדרך שלו אל "
+        "הידע והוא לא ויתר על החלום הזה גם כאשר היה קשה.",
+        "אחרי הבחינה כולם חיכו לתוצאות ובסוף הוא קיבל ציון גבוה מאוד "
+        "והמשפחה שלו היתה שמחה על ההצלחה הגדולה הזאת.",
+        "גם היום הוא לומד באותו מקום כדי להגשים את החלום הגדול שלו "
+        "ואנחנו לומדים ממנו איך עבודה עם סבלנות היא דרך אל המטרה.",
+    ]
+    html = ('<html lang="he"><head><title>סיפור הסטודנט</title></head><body>'
+            '<div class="article">'
+            + "".join(f"<p>{p}</p>" for p in paras)
+            + "</div></body></html>")
+    r = extract_one(html.encode("utf-8"), "he", "https://x.example/he")
+    assert r["status"] == "ok"
+    assert r["lang"] == "he" and r["lang_fallback"] is False
     assert r["cleaned_text"] == "\n\n".join(paras)
 
 

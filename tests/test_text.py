@@ -33,7 +33,9 @@ def test_resolve_language():
     assert resolve_language("zh") == "zh"  # segmentation variant (r3)
     assert resolve_language("ja") == "ja"  # segmentation variant (r3)
     assert resolve_language("th") == "th"  # segmentation variant (r3)
-    assert resolve_language("vi") == "en"  # no table → fallback
+    assert resolve_language("vi") == "vi"  # space-delimited table (r4)
+    assert resolve_language("he") == "he"  # space-delimited table (r4)
+    assert resolve_language("yi") == "en"  # no table → fallback
     assert resolve_language(None) == "en"
     assert resolve_language("") == "en"
 
