@@ -154,6 +154,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ngram_jaccard": T.q_ngram_jaccard,
         "q_url_normalize": T.q_url_normalize,
         "q_gopher_rules": T.q_gopher_rules,
+        # corpus statistics (r4): keyword extraction + length profiling
+        "q_tfidf_top_terms": T.q_tfidf_top_terms,
+        "q_length_quantiles": T.q_length_quantiles,
         # real PNG codec (r3): encode+decode inside Arrow batches; the
         # decoded pixel rows are gated against a SQL-computable pattern
         "q_image_decode": IM.q_image_decode,
@@ -175,19 +178,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_udf_extract": _q_udf_extract,
         # Part B relational probes (SURVEY.md §2.6) — the non-trivial
         # shapes stay graded (joins, aggs, windows, pandas UDAF)
-        "q_scan_filter_project": Q.q_scan_filter_project,
         "q_anti_join": Q.q_anti_join,
         "q_broadcast_join": Q.q_broadcast_join,
         "q_equi_join_3way": Q.q_equi_join_3way,
         "q_semi_join": Q.q_semi_join,
         "q_hash_agg": Q.q_hash_agg,
         "q_window_dedupe": Q.q_window_dedupe,
-        "q_window_running": Q.q_window_running,
         "q_grouped_agg": Q.q_grouped_agg,
         # ---------------- TAIL (beyond the driver's 50-cap) ----------
         # Long-stable Part-B probes: oracle-green r1/r2/r3 and still
         # asserted cross-engine by tests/test_relational_probes.py; the
         # two rows-only entries lose nothing by being ungraded.
+        # q_scan_filter_project / q_window_running rotated here in r4
+        # (green since r1, pushdown/window plan tests still enforced).
+        "q_scan_filter_project": Q.q_scan_filter_project,
+        "q_window_running": Q.q_window_running,
         "q_predicates": Q.q_predicates,
         "q_project_derived": Q.q_project_derived,
         "q_distinct": Q.q_distinct,
@@ -249,6 +254,8 @@ def oracle_sql() -> dict[str, str]:
         "q_minhash_pairs": T.ORACLE_MINHASH_PAIRS,
         "q_simhash": T.ORACLE_SIMHASH,
         "q_simhash_pairs": T.ORACLE_SIMHASH_PAIRS,
+        "q_tfidf_top_terms": T.ORACLE_TFIDF_TOP_TERMS,
+        "q_length_quantiles": T.ORACLE_LENGTH_QUANTILES,
         "q_ngram_jaccard": T.ORACLE_NGRAM_JACCARD,
         "q_url_normalize": T.ORACLE_URL_NORMALIZE,
         "q_gopher_rules": T.ORACLE_GOPHER_RULES,

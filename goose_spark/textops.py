@@ -927,3 +927,114 @@ SELECT doc_id, shard, n_tokens,
        CAST(start_tok % {PACK_CAPACITY} AS BIGINT) AS seq_offset
 FROM c
 """
+
+# ----------------------------------------------------- TF-IDF top terms ----
+TFIDF_TOP_K = 5
+# Integer idf surrogate: floor(N * 1e6 / df). Monotone in 1/df like
+# ln(N/df), but exact in int64 in both engines (N·1e6 < 2^63 up to
+# N ≈ 9·10^12 docs) — what lets the probe be value-hash-gated. A real
+# deployment swaps `ln` back in; the plan is identical.
+TFIDF_IDF_SCALE = 1_000_000
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-K terms by TF-IDF — the corpus-statistics shape
+    (keyword extraction / topic tagging) of a training-data pipeline.
+
+    Scale plan (10^12 docs): explode → partial-aggregated (doc, term)
+    counts (map-side combine eats the token fan-out) → term-keyed doc-
+    frequency aggregate (vocabulary-sized, ~10^8 rows — small next to
+    the corpus) joined back on term → per-doc top-K window. The df side
+    is broadcastable when the vocabulary is capped (top-1M terms covers
+    keyword use-cases); uncapped it is an ordinary term-keyed shuffle
+    join. The wide text column never passes the first projection."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = d.select(F.count(F.lit(1)).alias("n_docs"))
+    scored = (tf.join(df_, "term")
+              .crossJoin(F.broadcast(n))
+              .select("doc_id", "term", "tf",
+                      (F.col("tf") * F.expr(
+                          f"(n_docs * cast({TFIDF_IDF_SCALE} as bigint))"
+                          " div df")).alias("score")))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term").asc())
+    return (scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= TFIDF_TOP_K)
+            .select("doc_id", "term", "tf", "score",
+                    F.col("rnk").cast("long").alias("rnk")))
+
+
+ORACLE_TFIDF_TOP_TERMS = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         tf.tf * ((n.n_docs * {TFIDF_IDF_SCALE}) // df.df) AS score,
+         ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                            ORDER BY tf.tf * ((n.n_docs * {TFIDF_IDF_SCALE})
+                                              // df.df) DESC,
+                                     tf.term ASC) AS rnk
+  FROM tf JOIN df USING (term) CROSS JOIN n)
+SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(score AS BIGINT) AS score,
+       CAST(rnk AS BIGINT) AS rnk
+FROM scored WHERE rnk <= {TFIDF_TOP_K}
+"""
+
+
+# ------------------------------------------------- length quantiles --------
+# Percentiles as integer rank-picks (value at rank ceil(p·n), p = k/100)
+# — exact in both engines, no float interpolation to diverge on.
+QUANTILE_PCTS = (50, 90, 99)
+
+
+def q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language discrete quantiles of document length — the corpus-
+    profiling pass that sizes chunking/packing downstream.
+
+    Scale plan: a raw per-group window (row_number over every doc) would
+    put one language's 10^11 rows in a single partition — skew-bound.
+    Instead aggregate to a (lang, n_chars) histogram FIRST (map-side
+    combine; output bounded by distinct lengths per lang, ~10^5 rows
+    regardless of corpus size), then run the cumulative-sum window over
+    the tiny histogram and pick the first bin whose cumulative count
+    reaches rank ceil(p·n) = (n·k + 99) div 100. The sketch alternative
+    (approx_percentile / t-digest) trades this exactness for one fewer
+    shuffle; at a 10^5-row window input the exact path is already
+    cheap."""
+    d = load(spark, sf_dir, "documents")
+    hist = d.groupBy("lang", "n_chars").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("lang").orderBy("n_chars")
+    wall = Window.partitionBy("lang")
+    cum = (hist.withColumn("cum", F.sum("c").over(w))
+           .withColumn("n", F.sum("c").over(wall)))
+    pcts = F.explode(F.array(*[F.lit(k) for k in QUANTILE_PCTS])).alias("pct")
+    return (cum.select("lang", "n_chars", "cum", "n", pcts)
+            .filter(F.col("cum") >= F.expr("(n * pct + 99) div 100"))
+            .groupBy("lang", "pct")
+            .agg(F.min("n_chars").alias("value"))
+            .select("lang", F.col("pct").cast("long").alias("pct"), "value"))
+
+
+ORACLE_LENGTH_QUANTILES = f"""
+WITH hist AS (
+  SELECT lang, n_chars, COUNT(*) AS c FROM documents GROUP BY lang, n_chars),
+cum AS (
+  SELECT lang, n_chars,
+         SUM(c) OVER (PARTITION BY lang ORDER BY n_chars) AS cum,
+         SUM(c) OVER (PARTITION BY lang) AS n
+  FROM hist),
+p AS (SELECT unnest([{", ".join(str(k) for k in QUANTILE_PCTS)}]) AS pct)
+SELECT lang, CAST(pct AS BIGINT) AS pct, MIN(n_chars) AS value
+FROM cum CROSS JOIN p
+WHERE cum >= (n * pct + 99) // 100
+GROUP BY lang, pct
+"""

@@ -268,3 +268,35 @@ def test_domain_cap_precap_zero_shuffle_combiner(spark):
     assert full.count("Exchange") == 1
     assert full.count("MapInPandas") == 1
     assert "Window" in full
+
+
+def test_tfidf_all_codegen_no_text_after_tokenize(spark):
+    """TF-IDF is pure built-ins (no Python eval), and the wide text
+    column is projected away before any exchange — only (doc_id, term)
+    rows shuffle."""
+    from goose_spark import textops as T
+
+    plan = _plan(T.q_tfidf_top_terms(spark, SF))
+    assert "EvalPython" not in plan
+    # every Exchange carries tokenized rows, never the text column
+    for seg in plan.split("Exchange")[1:]:
+        assert "text#" not in seg[:120]
+
+
+def test_length_quantiles_window_reads_histogram(spark):
+    """The quantile window must consume the (lang, n_chars) histogram
+    aggregate, not raw rows — a raw per-lang window is skew-bound at
+    10^12 docs. Plan order: partial+final HashAggregate BEFORE the
+    Window node, and no Python eval anywhere."""
+    from goose_spark import textops as T
+
+    plan = _plan(T.q_length_quantiles(spark, SF))
+    assert "EvalPython" not in plan
+    tree = plan.split("\n\n")[0]
+    lines = tree.splitlines()
+    agg_idx = [i for i, l in enumerate(lines) if "HashAggregate" in l]
+    win_idx = [i for i, l in enumerate(lines) if "Window" in l]
+    assert agg_idx and win_idx
+    # formatted tree lists leaves last: the histogram aggregate appears
+    # BELOW (after) the window that consumes it
+    assert max(agg_idx) > min(win_idx)
