@@ -1,6 +1,8 @@
 """Training-data pipeline operators over the ``documents`` corpus:
 deduplication (exact, MinHash+LSH, SimHash, n-gram Jaccard), text analysis
-(language-ID, quality scoring, token counting, fingerprinting).
+(language-ID, quality scoring, token counting, fingerprinting), corpus
+statistics (TF-IDF top terms, per-language length quantiles), chunking
+and sequence packing.
 
 Design: everything that CAN be a JVM-side expression IS one — the MinHash
 signature, LSH banding, and exact Jaccard verification are pure
