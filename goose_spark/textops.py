@@ -173,26 +173,26 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """doc → 32-permutation MinHash signature, entirely in codegen:
     sig[p] = min over shingles of (A[p]·md5int60(shingle) + B[p]) mod P.
 
-    One string hash per shingle + 32 integer linear permutations. The
-    r2-measured dead end (pre-hash with xxhash64(xxhash64(s), p): 2.38s
-    vs 2.21s inline at sf0.1) does NOT apply to this form: the md5 is
-    ~4× the cost of an xxhash64, so hashing the string ONCE and
-    permuting integers beats 32 per-string hashes — and, unlike
-    xxhash64, md5 has a DuckDB twin, which graduates the probe from
-    rows-only to value-hash-gated."""
+    One string hash per shingle + 32 integer linear permutations — and,
+    unlike xxhash64, md5 has a DuckDB twin, which graduates the probe
+    from rows-only to value-hash-gated.
+
+    The hashed-shingle array is let-bound via the single-element-array
+    ``transform`` trick (same as _shingles): projecting ``hs`` in one
+    select and referencing it from 32 expressions in the next select
+    gets COLLAPSED by Catalyst into 32 inlined copies of the md5
+    transform (no CSE inside higher-order functions) — measured 11.2s
+    for q_minhash_pairs at sf0.1 vs 2.1s with the binding (the r2/r3
+    xxhash64 form measured 2.2s: oracle-exactness now costs nothing)."""
     with_sh = docs.select(id_col, _shingles().alias("sh"))
-    pre = with_sh.select(
-        id_col,
-        F.expr("transform(sh, s -> "
-               + _MD5INT60_SPARK.format(x="s")
-               + f" % {_MH_P})").alias("hs"))
-    sig_cols = [
-        F.array_min(F.expr(
-            f"transform(hs, m -> (cast({_MH_A[p]} as bigint) * m"
-            f" + {_MH_B[p]}) % {_MH_P})")).alias(f"h{p}")
-        for p in range(N_PERM)
-    ]
-    return pre.select(id_col, F.array(*sig_cols).alias("sig"))
+    hs = ("transform(sh, s -> "
+          + _MD5INT60_SPARK.format(x="s") + f" % {_MH_P})")
+    mins = ", ".join(
+        f"array_min(transform(hs, m -> (cast({_MH_A[p]} as bigint) * m"
+        f" + {_MH_B[p]}) % {_MH_P}))"
+        for p in range(N_PERM))
+    sig = F.expr(f"transform(array({hs}), hs -> array({mins}))")[0]
+    return with_sh.select(id_col, sig.alias("sig"))
 
 
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -218,21 +218,23 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sparkContext.defaultParallelism)
     sigs = minhash_signatures(d)
     rows_per_band = N_PERM // LSH_BANDS
+    # sig is let-bound (single-element-array transform) for the same
+    # reason as in minhash_signatures: 32 bare sig[i] references across
+    # the 8 band structs would each inline the ENTIRE signature
+    # expression after projection collapse.
+    band_structs = ", ".join(
+        f"struct({b} as band_id,"
+        # md5 hex prefix = engine-exact 8-byte band key (at deploy
+        # scale swap for xxhash64 — same plan shape)
+        " substr(md5(concat_ws(',', "
+        + ", ".join(f"cast(g[{b * rows_per_band + r}] as string)"
+                    for r in range(rows_per_band))
+        + ")), 1, 16) as band_hash)"
+        for b in range(LSH_BANDS))
     bands = sigs.select(
         "doc_id",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(b).alias("band_id"),
-                    # md5 hex prefix = engine-exact 8-byte band key (at
-                    # deploy scale swap for xxhash64 — same plan shape)
-                    F.substring(F.md5(F.concat_ws(",", *[
-                        F.col("sig")[b * rows_per_band + r].cast("string")
-                        for r in range(rows_per_band)
-                    ])), 1, 16).alias("band_hash"),
-                )
-                for b in range(LSH_BANDS)
-            ])
+        F.explode(F.expr(
+            f"transform(array(sig), g -> array({band_structs}))")[0]
         ).alias("band"),
     ).select("doc_id", "band.band_id", "band.band_hash")
 
