@@ -48,7 +48,15 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
     edges: DF with columns `src`, `dst`, ONE row per undirected edge
         (symmetrized internally).
     Returns DF(id, keeper_id) where keeper_id = min node id reachable.
+
+    Convergence is fixpoint-confirmed: labels only decrease, so the
+    label sum is strictly decreasing until stable, and one NO-CHANGE
+    round proves the fixpoint. max_iter therefore bounds rounds
+    INCLUDING that confirming round — size it to diameter + 1.
     """
+    if max_iter < 1:
+        raise ValueError(
+            f"connected_components: max_iter must be >= 1, got {max_iter}")
     sym = (edges.select("src", "dst")
            .union(edges.select(F.col("dst").alias("src"),
                                F.col("src").alias("dst")))
@@ -57,6 +65,8 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
 
     labels = nodes.select(F.col("id"), F.col("id").alias("keeper_id"))
     prev_sum = None
+    last_step = (None, None)
+    converged = False
     for _ in range(max_iter):
         nbr = (sym.join(labels, sym["src"] == labels["id"])
                .groupBy(sym["dst"].alias("id"))
@@ -76,18 +86,20 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
             F.sum(F.col("keeper_id").cast("decimal(38,0)"))).collect()[0][0]
         labels = new
         if prev_sum is not None and cur_sum == prev_sum:
+            converged = True
             break
+        last_step = (prev_sum, cur_sum)
         prev_sum = cur_sum
-    else:
-        # Degrade loudly (house rule): hitting max_iter before the
-        # label-sum fixpoint means some component deeper than max_iter
-        # rounds still carries non-minimal keeper labels. Silent wrong
-        # groups poison the dedupe downstream, so refuse.
+    if not converged:
+        # Degrade loudly (house rule): exhausting max_iter before a
+        # confirmed label-sum fixpoint means some component may still
+        # carry non-minimal keeper labels. Silent wrong groups poison
+        # the dedupe downstream, so refuse.
         raise RuntimeError(
-            f"connected_components: no fixpoint after {max_iter} "
-            f"iterations (label sum still changing: {prev_sum} -> "
-            f"{cur_sum}); raise max_iter or check the edge graph for "
-            "adversarial long chains")
+            f"connected_components: fixpoint not confirmed within "
+            f"{max_iter} iterations (last label-sum step: "
+            f"{last_step[0]} -> {last_step[1]}); raise max_iter or "
+            "check the edge graph for adversarial long chains")
     return labels
 
 

@@ -242,7 +242,10 @@ def precap_domains(df: DataFrame, cap: int,
             acc = acc.sort_values(
                 ["n_chars", "doc_id"], ascending=[False, True],
                 kind="mergesort")
-            return acc.groupby("domain", sort=False).head(cap)
+            # dropna=False: pandas groupby silently drops null keys by
+            # default — a null domain (unparseable URL upstream) must
+            # still honor "the pre-cap never drops a keeper"
+            return acc.groupby("domain", sort=False, dropna=False).head(cap)
 
         parts: list = []
         n = 0
@@ -308,16 +311,12 @@ def _ngram_expr(k: int):
         f"      i -> concat_ws(' ', slice(w, i, {k}))) END))")
 
 
-def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc eval-overlap verdict: n-grams of every EVAL_STEP-th doc
-    form the eval set (distinct, broadcast); every doc is flagged with
-    its hit count. Scale shape: the train side explodes k-grams but
-    joins them against the BROADCAST eval set (no shuffle of the
-    exploded rows); the only exchange is the (doc_id, count) partial
-    aggregation. At 10^12 docs swap the exact strings for xxhash64 of
-    the n-gram — same plan, 8-byte keys."""
-    d = load(spark, sf_dir, "documents").select("doc_id", "text")
-    grams = d.select("doc_id", F.explode(_ngram_expr(DECON_K)).alias("g"))
+def _decontaminate_verdicts(d: DataFrame, grams: DataFrame) -> DataFrame:
+    """Shared verdict assembly over a keyed (doc_id, g) n-gram frame
+    (string or hashed keys): eval set = grams of every EVAL_STEP-th doc
+    (distinct, BROADCAST — the exploded train side never shuffles), hit
+    counts via one (doc_id, count) partial aggregation, left-joined back
+    so zero-hit docs get an explicit verdict."""
     eval_set = (grams.filter(F.col("doc_id") % EVAL_STEP == 0)
                 .select("g").distinct())
     hits = (grams.join(F.broadcast(eval_set), "g")
@@ -326,6 +325,19 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id",
                     F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
                     (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated")))
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc eval-overlap verdict: n-grams of every EVAL_STEP-th doc
+    form the eval set (distinct, broadcast); every doc is flagged with
+    its hit count. Scale shape: the train side explodes k-grams but
+    joins them against the BROADCAST eval set (no shuffle of the
+    exploded rows); the only exchange is the (doc_id, count) partial
+    aggregation. At 10^12 docs swap the exact strings for xxhash64 of
+    the n-gram — same plan, 8-byte keys (q_decontaminate_hashed)."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    grams = d.select("doc_id", F.explode(_ngram_expr(DECON_K)).alias("g"))
+    return _decontaminate_verdicts(d, grams)
 
 
 def q_decontaminate_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -342,14 +354,7 @@ def q_decontaminate_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
     grams = (d.select("doc_id", F.explode(_ngram_expr(DECON_K)).alias("gs"))
              .select("doc_id", F.xxhash64("gs").alias("g")))
-    eval_set = (grams.filter(F.col("doc_id") % EVAL_STEP == 0)
-                .select("g").distinct())
-    hits = (grams.join(F.broadcast(eval_set), "g")
-            .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_hits")))
-    return (d.select("doc_id").join(hits, "doc_id", "left")
-            .select("doc_id",
-                    F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
-                    (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated")))
+    return _decontaminate_verdicts(d, grams)
 
 
 ORACLE_DECONTAMINATE = f"""

@@ -35,7 +35,7 @@ EPOCH = datetime(2025, 1, 1, tzinfo=timezone.utc)
 
 # Bump when the template or stopword tables change: the /tmp cache key
 # includes it, so stale fixtures regenerate instead of mismatching code.
-FIXTURE_VERSION = 8  # v8: vi/he stopword tables join the spread
+FIXTURE_VERSION = 9  # v9: paragraph/sibling element-text escaping
 
 # Languages cycled onto a deterministic share of docs so fixtures exercise
 # every shipped stopword table (VERDICT r1 item 3), beyond the seed
@@ -169,11 +169,15 @@ def _render(doc_id: int, built: dict, page_lang_attr: str, charset: str,
         keywords=esc(f"k{doc_id % 7}, k{doc_id % 11}"),
         canonical=f"/canon/{doc_id}",
     )
-    paras_html = "\n".join(f"<p>{p}</p>" for p in built["paras"])
+    # Paragraph/sibling bodies are element text too — same escaping
+    # contract as title_tag above (a corpus word containing '&' or '<'
+    # must not desync the rendered page from the expected_text golden).
+    esc_text = lambda s: html_mod.escape(str(s), quote=False)
+    paras_html = "\n".join(f"<p>{esc_text(p)}</p>" for p in built["paras"])
     movies_html = "".join(f'<iframe src="{m}"></iframe>\n' for m in (movies or []))
     body = (
         _BOILER.format(linky=_LINKY)
-        + f'<div class="prelude"><p>{built["sibling"]}</p></div>\n'
+        + f'<div class="prelude"><p>{esc_text(built["sibling"])}</p></div>\n'
         + f'<div class="article-body">\n{paras_html}\n{movies_html}</div>\n'
         + _TAIL.format(linky=_LINKY)
     )

@@ -200,10 +200,12 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     verification (shingle arrays, array_intersect/union) — no Python UDFs.
 
     Shuffle discipline (the 100 TB path): the band explode and pair
-    self-join carry only (doc_id, band_hash) — 16 bytes/row, never the
-    shingle arrays; shingles join back in ONLY for the (rare) candidate
-    pairs that survive banding, so the wide data rides one narrow
-    broadcast-sized join instead of an 8×-exploded shuffle.
+    self-join carry only (doc_id, band_hash) — a 16-char hex-prefix
+    string key in probe mode (~24 B/row; deploy swaps it for xxhash64's
+    8-byte long, same plan shape), never the shingle arrays; shingles
+    join back in ONLY for the (rare) candidate pairs that survive
+    banding, so the wide data rides one narrow broadcast-sized join
+    instead of an 8×-exploded shuffle.
 
     Oracle-backed since r4: the signature hash is the engine-exact
     md5int60 + integer permutations (see minhash_signatures) and the
@@ -224,8 +226,8 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # expression after projection collapse.
     band_structs = ", ".join(
         f"struct({b} as band_id,"
-        # md5 hex prefix = engine-exact 8-byte band key (at deploy
-        # scale swap for xxhash64 — same plan shape)
+        # md5 hex prefix = engine-exact 16-char band key (at deploy
+        # scale swap for xxhash64's 8-byte long — same plan shape)
         " substr(md5(concat_ws(',', "
         + ", ".join(f"cast(g[{b * rows_per_band + r}] as string)"
                     for r in range(rows_per_band))
@@ -393,8 +395,10 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # md5 hex chars (big-endian first 8 digest bytes — matches
 # int.from_bytes(digest[:8], 'big')); per bit, votes = ones*2 - n > 0;
 # the uint64 sum of winning bits is two's-complement-wrapped to the
-# kernel's int64. Python str.split() ≡ regex \\s+ split of the trimmed
-# string for this ASCII-spaced corpus; docs with no tokens score 0.
+# kernel's int64. Python str.split()/str.lower() ≡ the twin's ASCII regex
+# \\s+ split / SQL lower() ONLY for ASCII-spaced ASCII-cased text — pinned
+# on the grading corpus by test_simhash_oracle_corpus_assumptions; docs
+# with no tokens score 0.
 ORACLE_SIMHASH = """
 WITH tk AS (
   SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS tks

@@ -239,18 +239,26 @@ def _extract_runs(content: bytes, runs: list) -> None:
 
 
 def _object_spans(data: bytes) -> dict[int, bytes]:
-    """num -> object body (between `N G obj` and `endobj`), scan-based."""
+    """num -> object body (between `N G obj` and `endobj`), scan-based.
+
+    A byte run inside an object's (compressed) stream can spell
+    "N 0 obj"; such matches start before the enclosing object's span
+    ends and are SKIPPED via the position cursor — regardless of whether
+    the real definition of N sits earlier or later in the file. Genuine
+    top-level redefinitions (incremental-update PDFs) start after the
+    previous span and overwrite (last-wins). Salvage-grade by design: a
+    stream whose bytes spell "endobj" truncates its own span early (no
+    /Length-driven framing without a full xref parse)."""
     out: dict[int, bytes] = {}
+    pos = 0
     for m in _OBJ_RE.finditer(data):
+        if m.start() < pos:
+            continue  # inside the previous object's span (e.g. stream)
         end = data.find(b"endobj", m.end())
         if end < 0:
             end = len(data)
-        # A match inside an earlier object's (compressed) stream can
-        # spell "N 0 obj"; last-wins keeps the real later top-level
-        # definition without a full xref parse, and also honors
-        # incremental-update PDFs where a later object supersedes an
-        # earlier one with the same number.
         out[int(m.group(1))] = data[m.end():end]
+        pos = end + len(b"endobj")
     return out
 
 

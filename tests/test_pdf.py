@@ -195,3 +195,18 @@ def test_incremental_update_supersedes():
             b"3 0 obj\n<< /New true >>\nendobj\n")
     spans = _object_spans(data)
     assert b"/New true" in spans[3]
+
+
+def test_object_spans_garbage_in_later_stream_skipped():
+    """The mirrored order of the last-wins case: a byte run spelling
+    '5 0 obj' inside a LATER object's stream must not clobber the real
+    earlier definition — the position cursor skips in-span matches."""
+    from gooselite.pdftext import _object_spans
+
+    data = (b"5 0 obj\n<< /Real true >>\nendobj\n"
+            b"6 0 obj\n<< /Length 20 >>\nstream\n"
+            b"garbage 5 0 obj junk\nendstream\nendobj\n")
+    spans = _object_spans(data)
+    assert b"/Real true" in spans[5]
+    assert b"junk" not in spans[5]
+    assert 6 in spans

