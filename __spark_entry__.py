@@ -208,6 +208,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # xxhash64 has no DuckDB twin; equality vs the string-key
         # version is pytest-asserted)
         "q_decontaminate_hashed": FL.q_decontaminate_hashed,
+        # sketch-accuracy audit (oracle-backed; pytest-L3-graded from
+        # the tail — the graded window is full)
+        "q_minhash_est_vs_exact": T.q_minhash_est_vs_exact,
     }
 
 
@@ -256,6 +259,7 @@ def oracle_sql() -> dict[str, str]:
         "q_simhash_pairs": T.ORACLE_SIMHASH_PAIRS,
         "q_tfidf_top_terms": T.ORACLE_TFIDF_TOP_TERMS,
         "q_length_quantiles": T.ORACLE_LENGTH_QUANTILES,
+        "q_minhash_est_vs_exact": T.ORACLE_MINHASH_EST_VS_EXACT,
         "q_ngram_jaccard": T.ORACLE_NGRAM_JACCARD,
         "q_url_normalize": T.ORACLE_URL_NORMALIZE,
         "q_gopher_rules": T.ORACLE_GOPHER_RULES,

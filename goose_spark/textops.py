@@ -195,30 +195,10 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return with_sh.select(id_col, sig.alias("sig"))
 
 
-def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-duplicate candidate pairs with exact-Jaccard
-    verification (shingle arrays, array_intersect/union) — no Python UDFs.
-
-    Shuffle discipline (the 100 TB path): the band explode and pair
-    self-join carry only (doc_id, band_hash) — a 16-char hex-prefix
-    string key in probe mode (~24 B/row; deploy swaps it for xxhash64's
-    8-byte long, same plan shape), never the shingle arrays; shingles
-    join back in ONLY for the (rare) candidate pairs that survive
-    banding, so the wide data rides one narrow broadcast-sized join
-    instead of an 8×-exploded shuffle.
-
-    Oracle-backed since r4: the signature hash is the engine-exact
-    md5int60 + integer permutations (see minhash_signatures) and the
-    band key is an md5 hex prefix, so the DuckDB twin reproduces the
-    candidate set bit-for-bit; planted-dup recall additionally asserted
-    in pytest.
-    """
-    # small local files scan as ONE task; spread the CPU-heavy shingle +
-    # 32-permutation hashing over all cores (at 100 TB the scan itself
-    # yields thousands of splits and this repartition is unnecessary)
-    d = load(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism)
-    sigs = minhash_signatures(d)
+def _lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
+    """Banded LSH candidate generation over (doc_id, sig): explode the 8
+    md5-prefix band keys, self-join on (band_id, band_hash), dedupe to
+    distinct ordered (id_a, id_b). Only ~24-byte rows ever shuffle."""
     rows_per_band = N_PERM // LSH_BANDS
     # sig is let-bound (single-element-array transform) for the same
     # reason as in minhash_signatures: 32 bare sig[i] references across
@@ -242,12 +222,38 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     left = bands.alias("a")
     right = bands.select(F.col("doc_id").alias("doc_id_b"), "band_id", "band_hash")
-    pairs = (
+    return (
         left.join(right, ["band_id", "band_hash"])
         .filter(F.col("doc_id") < F.col("doc_id_b"))
         .select(F.col("doc_id").alias("id_a"), F.col("doc_id_b").alias("id_b"))
         .distinct()
     )
+
+
+def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-duplicate candidate pairs with exact-Jaccard
+    verification (shingle arrays, array_intersect/union) — no Python UDFs.
+
+    Shuffle discipline (the 100 TB path): the band explode and pair
+    self-join carry only (doc_id, band_hash) — a 16-char hex-prefix
+    string key in probe mode (~24 B/row; deploy swaps it for xxhash64's
+    8-byte long, same plan shape), never the shingle arrays; shingles
+    join back in ONLY for the (rare) candidate pairs that survive
+    banding, so the wide data rides one narrow broadcast-sized join
+    instead of an 8×-exploded shuffle.
+
+    Oracle-backed since r4: the signature hash is the engine-exact
+    md5int60 + integer permutations (see minhash_signatures) and the
+    band key is an md5 hex prefix, so the DuckDB twin reproduces the
+    candidate set bit-for-bit; planted-dup recall additionally asserted
+    in pytest.
+    """
+    # small local files scan as ONE task; spread the CPU-heavy shingle +
+    # 32-permutation hashing over all cores (at 100 TB the scan itself
+    # yields thousands of splits and this repartition is unnecessary)
+    d = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism)
+    pairs = _lsh_candidate_pairs(minhash_signatures(d))
     sh = d.select("doc_id", _shingles().alias("sh"))
     verified = (
         pairs
@@ -265,11 +271,10 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verified
 
 
-def _oracle_minhash_pairs() -> str:
-    """DuckDB twin of q_minhash_pairs: same shingles, same md5int60 base
-    hash, same {A,B} mod-P permutations, same md5-prefix band keys —
-    every step exact integer/string arithmetic, so the candidate set and
-    jaccard values hash-match bit-for-bit."""
+def _oracle_minhash_cte() -> str:
+    """Shared DuckDB CTE chain (shingles → md5int60 hashes → signatures
+    → band keys → distinct candidate pairs), bit-exact to the Spark
+    expressions; both minhash oracles build on it."""
     split = "string_split_regex(trim(text), '\\s+')"
     shingles = (
         f"list_transform(range(1, greatest(len({split}) - {SHINGLE_K}, 0) + 2),"
@@ -294,7 +299,14 @@ bands AS (
 pairs AS (
   SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
   FROM bands a JOIN bands b2 USING (band_id, band_hash)
-  WHERE a.doc_id < b2.doc_id),
+  WHERE a.doc_id < b2.doc_id)"""
+
+
+# DuckDB twin of q_minhash_pairs: same shingles, same md5int60 base
+# hash, same {A,B} mod-P permutations, same md5-prefix band keys —
+# every step exact integer/string arithmetic, so the candidate set and
+# jaccard values hash-match bit-for-bit.
+ORACLE_MINHASH_PAIRS = _oracle_minhash_cte() + """,
 j AS (
   SELECT p.id_a, p.id_b,
          ROUND(len(list_intersect(sa.sh, sb.sh))::DOUBLE
@@ -306,7 +318,58 @@ SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.8
 """
 
 
-ORACLE_MINHASH_PAIRS = _oracle_minhash_pairs()
+def q_minhash_est_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accuracy audit over the LSH candidate pairs: signature-
+    estimated Jaccard (matching permutations / 32) beside the exact
+    shingle-set Jaccard — the measurement that tunes LSH band/threshold
+    choices before committing a 100 TB dedup pass. n_match/32 is an
+    exact binary fraction, so the estimate column is engine-exact; the
+    plan adds one narrow signature join to the q_minhash_pairs shape
+    (candidates are rare, signatures are 256 B/doc)."""
+    d = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism)
+    sigs = minhash_signatures(d)
+    pairs = _lsh_candidate_pairs(sigs)
+    est = (pairs
+           .join(sigs.select(F.col("doc_id").alias("id_a"),
+                             F.col("sig").alias("sig_a")), "id_a")
+           .join(sigs.select(F.col("doc_id").alias("id_b"),
+                             F.col("sig").alias("sig_b")), "id_b")
+           .withColumn("n_match", F.expr(
+               "size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y),"
+               " v -> v))").cast("long")))
+    sh = d.select("doc_id", _shingles().alias("sh"))
+    return (est
+            .join(sh.select(F.col("doc_id").alias("id_a"),
+                            F.col("sh").alias("sh_a")), "id_a")
+            .join(sh.select(F.col("doc_id").alias("id_b"),
+                            F.col("sh").alias("sh_b")), "id_b")
+            .select(
+                "id_a", "id_b", "n_match",
+                (F.col("n_match") / F.lit(float(N_PERM))).alias("jaccard_est"),
+                F.round(
+                    F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+                    / F.size(F.array_union("sh_a", "sh_b")), 4)
+                .alias("jaccard_exact")))
+
+
+ORACLE_MINHASH_EST_VS_EXACT = _oracle_minhash_cte() + f""",
+e AS (
+  SELECT p.id_a, p.id_b,
+         len(list_filter(range(1, {N_PERM} + 1),
+             i -> sa.sig[i] = sb.sig[i])) AS n_match,
+         ROUND(len(list_intersect(ta.sh, tb.sh))::DOUBLE
+               / len(list_distinct(list_concat(ta.sh, tb.sh))), 4)
+           AS jaccard_exact
+  FROM pairs p
+  JOIN sig sa ON sa.doc_id = p.id_a
+  JOIN sig sb ON sb.doc_id = p.id_b
+  JOIN t ta ON ta.doc_id = p.id_a
+  JOIN t tb ON tb.doc_id = p.id_b)
+SELECT id_a, id_b, CAST(n_match AS BIGINT) AS n_match,
+       n_match / {float(N_PERM)} AS jaccard_est, jaccard_exact
+FROM e
+"""
 
 
 # ------------------------------------------------------- n-gram Jaccard ----

@@ -379,3 +379,16 @@ def test_precap_keeps_null_domains(spark):
     rows = precap_domains(df, 4).collect()
     assert len(rows) == 4
     assert sum(1 for r in rows if r.domain is None) == 2
+
+
+def test_minhash_est_tracks_exact_on_planted(spark, planted):
+    """On the planted corpus the estimate must nail the exact dup
+    (32/32) and land within the 32-permutation standard error
+    (~sqrt(j(1-j)/32) ≈ 0.07) of the exact Jaccard for the near dup."""
+    rows = {(r.id_a, r.id_b): r
+            for r in T.q_minhash_est_vs_exact(spark, planted).collect()}
+    exact_dup = rows[(1, 2)]
+    assert exact_dup.n_match == T.N_PERM and exact_dup.jaccard_est == 1.0
+    near = rows.get((1, 3)) or rows.get((2, 3))
+    assert near is not None
+    assert abs(near.jaccard_est - near.jaccard_exact) <= 0.25  # ~3.5 SE
