@@ -94,6 +94,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from goose_spark import ann as A
     from goose_spark import components as CC
     from goose_spark import audioops as AU
+    from goose_spark import corpusops as CO
     from goose_spark import encops as EN
     from goose_spark import filterops as FL
     from goose_spark import imageops as IM
@@ -157,6 +158,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # corpus statistics (r4): keyword extraction + length profiling
         "q_tfidf_top_terms": T.q_tfidf_top_terms,
         "q_length_quantiles": T.q_length_quantiles,
+        # sketch-accuracy audit: signature-estimated vs exact Jaccard
+        # over the LSH candidate pairs (moved into the window in late
+        # r4 — registered after the r3 grading run, never graded)
+        "q_minhash_est_vs_exact": T.q_minhash_est_vs_exact,
+        # corpus maintenance (late r4): paragraph-level boilerplate
+        # dedup, mixture sampling, crawl-snapshot delta, collocations
+        "q_paragraph_dedup": CO.q_paragraph_dedup,
+        "q_mix_sample": CO.q_mix_sample,
+        "q_crawl_delta": CO.q_crawl_delta,
+        "q_pmi_bigrams": CO.q_pmi_bigrams,
+        # unicode NFC normalization (late r4): Python unicodedata vs
+        # DuckDB utf8proc — two independent NFC implementations gated
+        "q_unicode_nfc": EN.q_unicode_nfc,
         # real PNG codec (r3): encode+decode inside Arrow batches; the
         # decoded pixel rows are gated against a SQL-computable pattern
         "q_image_decode": IM.q_image_decode,
@@ -173,24 +187,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_wet_export": W.q_wet_export,
         "q_charset_decode": EN.q_charset_decode,
         "q_robots_gate": RB.q_robots_gate,
-        # the extraction operator itself (B17; rows-only — the oracle-
-        # backed hash gate on the full chain is q_warc_extract above)
-        "q_udf_extract": _q_udf_extract,
-        # Part B relational probes (SURVEY.md §2.6) — the non-trivial
-        # shapes stay graded (joins, aggs, windows, pandas UDAF)
-        "q_anti_join": Q.q_anti_join,
-        "q_broadcast_join": Q.q_broadcast_join,
+        # Part B relational probes (SURVEY.md §2.6) — one shuffle-join
+        # and the pandas-UDAF shape stay graded as anchors
         "q_equi_join_3way": Q.q_equi_join_3way,
-        "q_semi_join": Q.q_semi_join,
-        "q_hash_agg": Q.q_hash_agg,
-        "q_window_dedupe": Q.q_window_dedupe,
         "q_grouped_agg": Q.q_grouped_agg,
         # ---------------- TAIL (beyond the driver's 50-cap) ----------
         # Long-stable Part-B probes: oracle-green r1/r2/r3 and still
         # asserted cross-engine by tests/test_relational_probes.py; the
-        # two rows-only entries lose nothing by being ungraded.
-        # q_scan_filter_project / q_window_running rotated here in r4
-        # (green since r1, pushdown/window plan tests still enforced).
+        # rows-only entries lose nothing by being ungraded.
+        # q_scan_filter_project / q_window_running rotated here in r4;
+        # q_anti_join / q_broadcast_join / q_semi_join / q_hash_agg /
+        # q_window_dedupe / q_udf_extract rotated in late r4 to make
+        # room for the corpus-maintenance probes (each green since its
+        # debut round; join-strategy/pushdown plan tests still enforce
+        # their physical shapes every pytest run).
+        "q_anti_join": Q.q_anti_join,
+        "q_broadcast_join": Q.q_broadcast_join,
+        "q_semi_join": Q.q_semi_join,
+        "q_hash_agg": Q.q_hash_agg,
+        "q_window_dedupe": Q.q_window_dedupe,
+        # the extraction operator itself (B17; rows-only — the oracle-
+        # backed hash gate on the full chain is q_warc_extract above)
+        "q_udf_extract": _q_udf_extract,
         "q_scan_filter_project": Q.q_scan_filter_project,
         "q_window_running": Q.q_window_running,
         "q_predicates": Q.q_predicates,
@@ -220,6 +238,7 @@ def oracle_sql() -> dict[str, str]:
     query vector, so it is rendered against sf0.01 here.
     """
     from goose_spark import audioops as AU
+    from goose_spark import corpusops as CO
     from goose_spark import encops as EN
     from goose_spark import filterops as FL
     from goose_spark import imageops as IM
@@ -280,6 +299,11 @@ def oracle_sql() -> dict[str, str]:
         "q_image_decode": IM.ORACLE_IMAGE_DECODE,
         "q_audio_features": AU.ORACLE_AUDIO_FEATURES,
         "q_video_frames": V.ORACLE_VIDEO_FRAMES,
+        "q_paragraph_dedup": CO.ORACLE_PARAGRAPH_DEDUP,
+        "q_mix_sample": CO.ORACLE_MIX_SAMPLE,
+        "q_crawl_delta": CO.ORACLE_CRAWL_DELTA,
+        "q_pmi_bigrams": CO.ORACLE_PMI_BIGRAMS,
+        "q_unicode_nfc": EN.ORACLE_UNICODE_NFC,
     }
     from goose_spark import ann as A
     from goose_spark import streaming as S

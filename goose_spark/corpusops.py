@@ -1,0 +1,270 @@
+"""Corpus-maintenance operators (round 4): the jobs a web-scale
+training-data pipeline runs BETWEEN crawls and extraction passes —
+paragraph-level boilerplate removal (CCNet-style line dedup), mixture
+sampling to per-language token budgets, crawl-snapshot deltas, and PMI
+collocation mining.
+
+House rules (same as textops/filterops): every step is a JVM-side
+expression; outputs are exact integers / md5 gates so each probe is
+value-hash-gated against an independent DuckDB twin; synthesized inputs
+come from ONE SQL template shared verbatim by both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from goose_spark.queries import load
+from goose_spark.textops import _MD5INT60_SPARK
+
+# ------------------------------------------------- paragraph-level dedup --
+# CCNet-style: a paragraph whose exact text occurs >= DUP_PARA_MIN times
+# corpus-wide is boilerplate (nav bars, subscribe banners, copyright
+# footers) and is removed from every document; the document's own prose
+# survives. The corpus has no newline structure, so the probe synthesizes
+# a deterministic 4-paragraph page per doc: two source-keyed boilerplate
+# paragraphs (repeat across the ~25 docs of each source -> dropped) and
+# two doc_id-keyed body slices (unique -> kept, so no document ever
+# empties: md5('') vs NULL would diverge across engines).
+DUP_PARA_MIN = 3
+
+_PG_SYNTH = (
+    "concat_ws(chr(10),"
+    " concat('subscribe to the ', source, ' newsletter for daily updates'),"
+    " concat('body ', CAST(doc_id AS {S}), ' ', substr(text, 1, 120)),"
+    " CASE WHEN doc_id % 2 = 0"
+    "      THEN concat('copyright ', source, ' all rights reserved')"
+    "      ELSE concat('about ', source, ' contact and terms') END,"
+    " concat('tail ', CAST(doc_id AS {S}), ' ', substr(text, 121, 120)))"
+)
+
+
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus paragraph dedup: explode paragraphs with position,
+    count occurrences on a 16-byte md5 key, drop paragraphs with
+    count >= DUP_PARA_MIN, reassemble each doc in original order.
+
+    Shuffle discipline at 100 TB: (1) the count is a hash aggregate on
+    the md5 key with map-side combine — the shuffle carries (16 B, long)
+    rows, never paragraph text; (2) counts rejoin the exploded side as a
+    shuffle join so AQE can skew-split the wordpress-footer key — a
+    window COUNT() OVER (PARTITION BY hash) would pin a 10^9-occurrence
+    paragraph onto one reducer; (3) reassembly is one doc_id-keyed
+    aggregate (collect_list of the surviving (pos, para) structs,
+    array_sort, concat_ws), zero-exchange under the bucketed-by-url
+    layout (goose_spark/job.py)."""
+    d = load(spark, sf_dir, "documents")
+    pg = F.expr(_PG_SYNTH.format(S="STRING"))
+    paras = d.select(
+        "doc_id", F.posexplode(F.split(pg, "\n")).alias("pos", "para"))
+    counts = (
+        paras.groupBy(F.md5(F.col("para").cast("binary")).alias("ph"))
+        .agg(F.count(F.lit(1)).alias("n_occ")))
+    kept = (
+        paras.withColumn("ph", F.md5(F.col("para").cast("binary")))
+        .join(counts, "ph"))
+    clean = F.expr(
+        "md5(cast(concat_ws(chr(10), transform(array_sort("
+        f" collect_list(CASE WHEN n_occ < {DUP_PARA_MIN}"
+        "  THEN struct(pos, para) END)"
+        "), x -> x.para)) as binary))")
+    return kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_paras"),
+        F.sum(F.when(F.col("n_occ") < DUP_PARA_MIN, 1).otherwise(0))
+        .cast("long").alias("n_kept"),
+        clean.alias("clean_md5"),
+    )
+
+
+ORACLE_PARAGRAPH_DEDUP = f"""
+WITH t AS (
+  SELECT doc_id, string_split({_PG_SYNTH.format(S='VARCHAR')}, chr(10)) AS ps
+  FROM documents),
+px AS (SELECT doc_id, unnest(generate_series(1, len(ps))) AS pos, ps
+       FROM t),
+p AS (SELECT doc_id, pos, ps[pos] AS para FROM px),
+c AS (SELECT md5(para) AS ph, COUNT(*) AS n_occ FROM p GROUP BY 1),
+k AS (SELECT p.doc_id, p.pos, p.para, c.n_occ
+      FROM p JOIN c ON md5(p.para) = c.ph)
+SELECT doc_id,
+       COUNT(*) AS n_paras,
+       CAST(SUM(CASE WHEN n_occ < {DUP_PARA_MIN} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_kept,
+       md5(string_agg(CASE WHEN n_occ < {DUP_PARA_MIN} THEN para END,
+                      chr(10) ORDER BY pos)) AS clean_md5
+FROM k GROUP BY doc_id
+"""
+
+
+# ------------------------------------------------------ mixture sampling --
+# Deterministic hash-rate sampling to a per-language token budget — the
+# "data mixing" step that turns a raw corpus into a training mixture with
+# chosen language (or source/quality-tier) weights. keep(doc) iff
+# h(doc_id) < floor(BUDGET * 2^40 / lang_total_tokens), h uniform on
+# [0, 2^40): every language lands its budget in expectation, the decision
+# is a pure per-row expression, and reruns are reproducible (hash, not
+# rand()).
+MIX_BUDGET_TOKENS = 6000
+_MIX_M = 1 << 40  # hash modulus; BUDGET * M ~ 6.6e15 << 2^63
+
+
+def q_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture sampling at 100 TB: the alternative — a per-language
+    cumulative-sum window "take docs until the budget fills" — partitions
+    the whole corpus by a handful of language values, pinning each
+    language onto ONE reducer. This shape instead does one tiny
+    map-side-combined aggregate (rows = #languages), broadcasts the
+    per-language threshold table, and keeps/drops every row with pure
+    codegen — the corpus itself never shuffles."""
+    d = load(spark, sf_dir, "documents")
+    h = _MD5INT60_SPARK.format(x="cast(doc_id as string)")
+    base = d.select(
+        "doc_id", "lang",
+        F.size(F.split(F.trim(F.col("text")), r"\s+"))
+        .cast("long").alias("n_tokens"),
+        F.expr(f"{h} % {_MIX_M}").alias("h"))
+    thresholds = (
+        base.groupBy("lang")
+        .agg(F.sum("n_tokens").alias("lang_tokens"))
+        .select("lang", F.expr(
+            f"CAST({MIX_BUDGET_TOKENS} AS BIGINT) * {_MIX_M}"
+            " div lang_tokens").alias("thresh")))
+    return (
+        base.join(F.broadcast(thresholds), "lang")
+        .select("doc_id", "lang", "n_tokens",
+                (F.col("h") < F.col("thresh")).alias("kept")))
+
+
+ORACLE_MIX_SAMPLE = f"""
+WITH base AS (
+  SELECT doc_id, lang,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+             AS n_tokens,
+         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+              AS BIGINT) % {_MIX_M} AS h
+  FROM documents),
+thresh AS (
+  SELECT lang,
+         CAST({MIX_BUDGET_TOKENS} AS BIGINT) * {_MIX_M} // SUM(n_tokens)
+             AS thresh
+  FROM base GROUP BY lang)
+SELECT b.doc_id, b.lang, b.n_tokens, b.h < t.thresh AS kept
+FROM base b JOIN thresh t USING (lang)
+"""
+
+
+# -------------------------------------------------- crawl-snapshot delta --
+# Incremental crawl processing: given two snapshots of the same URL space
+# (e.g. consecutive monthly crawls), classify every URL as
+# added / removed / changed / unchanged by content hash — the operator
+# that lets the pipeline re-extract ONLY the changed slice. Snapshots are
+# synthesized deterministically from the corpus: A = doc_id % 7 != 0,
+# B = doc_id % 5 != 0 with every doc_id % 3 == 0 page revised.
+
+
+def q_crawl_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One full-outer sort-merge join keyed on the document id (url at
+    deploy); under the bucketed-by-url layout (goose_spark/job.py) both
+    snapshots are co-bucketed and the join is zero-exchange — the 100 TB
+    shape for diffing consecutive crawls."""
+    d = load(spark, sf_dir, "documents")
+    snap_a = (
+        d.filter(F.col("doc_id") % 7 != 0)
+        .select("doc_id", F.md5(F.col("text").cast("binary")).alias("ha")))
+    snap_b = (
+        d.filter(F.col("doc_id") % 5 != 0)
+        .select("doc_id", F.md5(
+            F.when(F.col("doc_id") % 3 == 0,
+                   F.concat(F.col("text"), F.lit(" rev2")))
+            .otherwise(F.col("text")).cast("binary")).alias("hb")))
+    j = snap_a.join(snap_b, "doc_id", "full_outer")
+    status = (
+        F.when(F.col("ha").isNull(), "added")
+        .when(F.col("hb").isNull(), "removed")
+        .when(F.col("ha") != F.col("hb"), "changed")
+        .otherwise("unchanged"))
+    return j.select("doc_id", status.alias("status"))
+
+
+ORACLE_CRAWL_DELTA = """
+WITH a AS (SELECT doc_id, md5(text) AS ha FROM documents
+           WHERE doc_id % 7 != 0),
+b AS (SELECT doc_id,
+             md5(CASE WHEN doc_id % 3 = 0 THEN text || ' rev2'
+                      ELSE text END) AS hb
+      FROM documents WHERE doc_id % 5 != 0)
+SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+       CASE WHEN a.doc_id IS NULL THEN 'added'
+            WHEN b.doc_id IS NULL THEN 'removed'
+            WHEN ha != hb THEN 'changed'
+            ELSE 'unchanged' END AS status
+FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+"""
+
+
+# ------------------------------------------------------ PMI collocations --
+# Corpus collocation mining: top-K bigrams by pointwise mutual
+# information — the statistic behind phrase detection / tokenizer-merge
+# candidates. Integer PMI surrogate score = n_ab * 1e6 * N div (n_a*n_b)
+# (monotone in the PMI argument; exact int64 in both engines — deploy
+# swaps the final log back in, same plan). Bounds at probe scale:
+# n_ab * 1e6 * N ~ 2e3 * 1e6 * 2e4 = 4e13 << 2^63; at web scale compute
+# the ratio as two integer divisions or go to DECIMAL(38).
+PMI_TOP_K = 50
+
+
+def q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shapes: two hash aggregates with map-side combine (unigram and
+    bigram counts — the shuffles carry (term, long) rows, never
+    documents), the bigram table joined to unigram counts twice on term
+    (vocabulary-keyed shuffle joins; AQE broadcasts them when the vocab
+    is small), one scalar total broadcast, TakeOrderedAndProject for the
+    top-K. Reuses filterops' CSE-safe let-bound bigram expression — a
+    naive split() inside the transform lambda re-tokenizes per bigram."""
+    from goose_spark.filterops import _BIGRAMS, _WORDS
+
+    d = load(spark, sf_dir, "documents")
+    uni = (
+        d.select(F.explode(F.expr(_WORDS)).alias("term"))
+        .groupBy("term").agg(F.count(F.lit(1)).alias("n_term")))
+    bi = (
+        d.select(F.explode(F.expr(_BIGRAMS)).alias("bigram"))
+        .groupBy("bigram").agg(F.count(F.lit(1)).alias("n_ab")))
+    total = uni.agg(F.sum("n_term").alias("n_total"))
+    scored = (
+        bi.withColumn("w1", F.split(F.col("bigram"), " ")[0])
+        .withColumn("w2", F.split(F.col("bigram"), " ")[1])
+        .join(uni.select(F.col("term").alias("w1"),
+                         F.col("n_term").alias("n_a")), "w1")
+        .join(uni.select(F.col("term").alias("w2"),
+                         F.col("n_term").alias("n_b")), "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "bigram", "n_ab",
+            F.expr("n_ab * 1000000 * n_total div (n_a * n_b)")
+            .alias("score")))
+    return scored.orderBy(F.desc("score"), "bigram").limit(PMI_TOP_K)
+
+
+ORACLE_PMI_BIGRAMS = f"""
+WITH w AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws
+  FROM documents),
+uni AS (
+  SELECT u.term, COUNT(*) AS n_term
+  FROM w, unnest(ws) AS u(term) GROUP BY 1),
+bx AS (SELECT ws, unnest(generate_series(1, len(ws) - 1)) AS i FROM w),
+bi AS (
+  SELECT ws[i] || ' ' || ws[i + 1] AS bigram, COUNT(*) AS n_ab
+  FROM bx GROUP BY 1),
+total AS (SELECT SUM(n_term) AS n_total FROM uni)
+SELECT bigram, n_ab,
+       n_ab * 1000000 * n_total // (a.n_term * b.n_term) AS score
+FROM bi
+JOIN uni a ON a.term = string_split(bigram, ' ')[1]
+JOIN uni b ON b.term = string_split(bigram, ' ')[2]
+CROSS JOIN total
+ORDER BY score DESC, bigram
+LIMIT {PMI_TOP_K}
+"""

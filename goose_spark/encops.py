@@ -78,3 +78,65 @@ SELECT doc_id,
              ELSE '{_HEAD_PLAIN}' || text END) AS text_md5
 FROM documents
 """
+
+
+# ---------------------------------------------------- NFC normalization --
+# Unicode canonical normalization (NFC) — the text-cleanup step every
+# multilingual corpus runs before hashing/dedup, since the SAME visible
+# string arrives from the web in composed and decomposed forms and would
+# otherwise defeat exact dedup and fingerprinting. The ASCII corpus is
+# decorated with one of four deterministic suffixes per doc_id: a
+# composing pair (e + U+0301), a canonical-REORDER case (o + U+0323 +
+# U+0301 — marks arrive out of canonical order and must sort before
+# composing), an already-NFC string (U+00E9 — must pass through
+# unchanged), and a ring pair (A + U+030A). NFC itself is a pandas UDF
+# (Python unicodedata) — Spark has no normalization builtin — and the
+# oracle is DuckDB's independent utf8proc-backed nfc_normalize(), so a
+# hash match cross-checks two unrelated NFC implementations.
+_NFC_SYNTH = (
+    "concat(text, ' nfc:',"
+    " CASE CAST(doc_id % 4 AS INT)"
+    "  WHEN 0 THEN 'é mark'"
+    "  WHEN 1 THEN 'ọ́ reorder'"
+    "  WHEN 2 THEN 'é stable'"
+    "  ELSE 'Å ring' END)"
+)
+
+
+def q_unicode_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NFC normalization probe: codepoint counts before/after, changed
+    flag, md5 of the normalized text. Scale shape: scan -> project with
+    ONE Arrow-batched UDF evaluation (ExtractPythonUDFs dedups the
+    repeated reference into a single ArrowEvalPython node — asserted in
+    tests/test_plans.py), zero shuffles."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _nfc(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return s.map(lambda x: unicodedata.normalize("NFC", x))
+
+    d = load(spark, sf_dir, "documents")
+    raw = F.expr(_NFC_SYNTH)
+    nfc = _nfc(raw)
+    return d.select(
+        "doc_id",
+        F.length(raw).cast("long").alias("n_cp_raw"),
+        F.length(nfc).cast("long").alias("n_cp_nfc"),
+        (raw != nfc).alias("changed"),
+        F.md5(nfc.cast("binary")).alias("nfc_md5"),
+    )
+
+
+ORACLE_UNICODE_NFC = f"""
+WITH t AS (SELECT doc_id, {_NFC_SYNTH} AS raw FROM documents),
+n AS (SELECT doc_id, raw, nfc_normalize(raw) AS nfc FROM t)
+SELECT doc_id,
+       CAST(length(raw) AS BIGINT) AS n_cp_raw,
+       CAST(length(nfc) AS BIGINT) AS n_cp_nfc,
+       raw != nfc AS changed,
+       md5(nfc) AS nfc_md5
+FROM n
+"""
