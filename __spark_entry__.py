@@ -116,6 +116,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # keeper resolution: connected components over near-dup pairs
         # (never driver-graded before r4)
         "q_dedup_groups": CC.q_dedup_groups,
+        # link-graph PageRank (late r4): 5 integer-exact iterations,
+        # one src-keyed join + dst-keyed partial agg per round
+        "q_pagerank": CC.q_pagerank,
         # append-mode streaming twin: only finalized windows, late rows
         # dropped (never driver-graded before r4)
         "q_stream_window_append": _q_stream_window_append,
@@ -137,14 +140,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # corpus filters: PII scrub, repetition signals, domain capping
         "q_pii_redact": FL.q_pii_redact,
         "q_repetition_filter": FL.q_repetition_filter,
-        "q_domain_cap": FL.q_domain_cap,
+        # hashed-linear quality classifier inference (late r4)
+        "q_quality_classifier": FL.q_quality_classifier,
         "q_domain_cap_kept": FL.q_domain_cap_kept,
         "q_decontaminate": FL.q_decontaminate,
         "q_chunk_windows": T.q_chunk_windows,
         "q_pack_sequences": T.q_pack_sequences,
         # training-data ops: dedup / text analysis
         "q_dedup_exact": T.q_dedup_exact,
-        "q_token_count": T.q_token_count,
         "q_token_bpeish": T.q_token_bpeish,
         "q_quality_score": T.q_quality_score,
         "q_fingerprint": T.q_fingerprint,
@@ -222,6 +225,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_json": Q.q_json,
         "q_salt_invariance": Q.q_salt_invariance,
         "q_multimodal_stub": T.q_multimodal_stub,          # rows-only
+        # rotated late r4 (superseded in the window: q_domain_cap_kept
+        # proves the identical keeper set; q_token_bpeish subsumes the
+        # whitespace token count)
+        "q_token_count": T.q_token_count,
+        "q_domain_cap": FL.q_domain_cap,
         # 8-byte-key decontamination (the 10^12-row shape; rows-only —
         # xxhash64 has no DuckDB twin; equality vs the string-key
         # version is pytest-asserted)
@@ -239,6 +247,7 @@ def oracle_sql() -> dict[str, str]:
     """
     from goose_spark import audioops as AU
     from goose_spark import corpusops as CO
+    from goose_spark import components as CCX
     from goose_spark import encops as EN
     from goose_spark import filterops as FL
     from goose_spark import imageops as IM
@@ -299,6 +308,8 @@ def oracle_sql() -> dict[str, str]:
         "q_image_decode": IM.ORACLE_IMAGE_DECODE,
         "q_audio_features": AU.ORACLE_AUDIO_FEATURES,
         "q_video_frames": V.ORACLE_VIDEO_FRAMES,
+        "q_pagerank": CCX.ORACLE_PAGERANK,
+        "q_quality_classifier": FL.ORACLE_QUALITY_CLASSIFIER,
         "q_paragraph_dedup": CO.ORACLE_PARAGRAPH_DEDUP,
         "q_mix_sample": CO.ORACLE_MIX_SAMPLE,
         "q_crawl_delta": CO.ORACLE_CRAWL_DELTA,

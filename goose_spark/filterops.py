@@ -376,3 +376,68 @@ SELECT d.doc_id,
        COALESCE(h.n_hits, 0) > 0 AS contaminated
 FROM documents d LEFT JOIN h ON d.doc_id = h.doc_id
 """
+
+
+# ---------------------------------------------------- quality classifier --
+# fastText-style hashed linear classifier INFERENCE at corpus scale: the
+# model-based quality filter (DCLM/DataComp-style) that scores every doc
+# with a linear model over hashed unigram + bigram features. Hashed
+# features mean NO vocabulary table at all — the weight of a token is a
+# pure function of its hash (at deploy, the hash indexes a broadcast
+# weight ARRAY; here the synthesized weight IS the hash folded into
+# [-1000, 1000]) — so scoring is one codegen projection: the corpus
+# never shuffles, never joins, never leaves its input partition.
+#
+# The verdict compares raw integer SUMS against zero instead of mean
+# weights: no integer division on possibly-negative sums (Spark `div`
+# and DuckDB `//` agree provably only for non-negative operands).
+
+
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc hashed-linear quality score: sum of md5-hashed unigram
+    and bigram feature weights, verdict = (uni_sum + bi_sum >= 0).
+    Pure whole-stage-codegen expressions; repeated fold subtrees inside
+    ONE projection are deduplicated by codegen subexpression
+    elimination (it is only lambda interiors that defeat CSE —
+    tests/test_plans.py asserts the zero-shuffle single-stage shape)."""
+    from goose_spark.textops import _MD5INT60_SPARK
+
+    w = "(" + _MD5INT60_SPARK.format(x="t") + " % 2001) - 1000"
+    fold = ("aggregate(transform({arr}, t -> " + w + "),"
+            " cast(0 as bigint), (a, x) -> a + x)")
+    uni = fold.format(arr=_WORDS)
+    bi = fold.format(arr=_BIGRAMS)
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.expr(f"size({_WORDS})").cast("long").alias("n_tokens"),
+        F.expr(uni).alias("uni_sum"),
+        F.expr(f"size({_BIGRAMS})").cast("long").alias("n_bigrams"),
+        F.expr(bi).alias("bi_sum"),
+        F.expr(f"({uni} + {bi}) >= 0").alias("keep"),
+    )
+
+
+_DUCK_W = ("(CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT)"
+           " % 2001) - 1000")
+_DUCK_WS = "string_split_regex(lower(trim(text)), '\\s+')"
+# DuckDB bigram list identical to filterops._BIGRAMS semantics
+# (empty when < 2 words; generate_series(1, 0) is empty)
+_DUCK_BS = ("list_transform(generate_series(1, len(ws) - 1),"
+            " i -> ws[i] || ' ' || ws[i + 1])")
+
+ORACLE_QUALITY_CLASSIFIER = f"""
+WITH t AS (SELECT doc_id, {_DUCK_WS} AS ws FROM documents),
+b AS (SELECT doc_id, ws, {_DUCK_BS} AS bs FROM t),
+s AS (SELECT doc_id,
+             CAST(len(ws) AS BIGINT) AS n_tokens,
+             CAST(COALESCE(list_sum(list_transform(ws, t -> {_DUCK_W})), 0)
+                  AS BIGINT) AS uni_sum,
+             CAST(len(bs) AS BIGINT) AS n_bigrams,
+             CAST(COALESCE(list_sum(list_transform(bs, t -> {_DUCK_W})), 0)
+                  AS BIGINT) AS bi_sum
+      FROM b)
+SELECT doc_id, n_tokens, uni_sum, n_bigrams, bi_sum,
+       (uni_sum + bi_sum) >= 0 AS keep
+FROM s
+"""

@@ -145,3 +145,62 @@ def test_nfc_probe_single_udf_pass_no_shuffle(spark):
             assert not r["changed"] and r["n_cp_raw"] == r["n_cp_nfc"]
         else:
             assert r["changed"] and r["n_cp_nfc"] < r["n_cp_raw"]
+
+
+# ------------------------------------------------------------- PageRank --
+def test_pagerank_exact_semantics(spark):
+    from goose_spark import components as CC
+
+    rows = {r["doc_id"]: r["rank"] for r in
+            CC.q_pagerank(spark, SF).collect()}
+    n = len(rows)
+    assert n == 500
+    base = (15 * (CC.PR_SCALE // n)) // 100
+    # recompute the whole 5-iteration process in plain Python
+    P, Q = (7, 31, 97), (13, 57, 241)
+    edges = []
+    for u in range(n):
+        for k in range(u % 3 + 1):
+            edges.append((u, (u * P[k] + Q[k]) % n, u % 3 + 1))
+    rank = {u: CC.PR_SCALE // n for u in range(n)}
+    for _ in range(CC.PR_ITERS):
+        s = {u: 0 for u in range(n)}
+        for src, dst, deg in edges:
+            s[dst] += rank[src] // deg
+        rank = {u: base + (85 * s[u]) // 100 for u in range(n)}
+    assert rows == rank
+    # no-in-link nodes sit at exactly the damped base
+    linked = {d for _, d, _ in edges}
+    unlinked = set(range(n)) - linked
+    for u in unlinked:
+        assert rows[u] == base
+
+
+def test_pagerank_per_round_is_join_plus_partial_agg(spark):
+    from goose_spark import components as CC
+
+    plan = _plan(CC.q_pagerank(spark, SF))
+    # every round's contribution sum must map-side combine
+    assert plan.count("partial_sum") >= CC.PR_ITERS
+    # N flows in via a broadcast 1-row aggregate, never a collect
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+# --------------------------------------------------- quality classifier --
+def test_quality_classifier_pure_codegen_no_shuffle(spark):
+    from goose_spark import filterops as FL
+
+    df = FL.q_quality_classifier(spark, SF)
+    plan = _plan(df)
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    rows = df.collect()
+    for r in rows:
+        assert r["keep"] == (r["uni_sum"] + r["bi_sum"] >= 0)
+        if r["n_tokens"] >= 2:
+            assert r["n_bigrams"] == r["n_tokens"] - 1
+        assert abs(r["uni_sum"]) <= 1000 * r["n_tokens"]
+    # the planted weights must actually split the corpus (both verdicts
+    # occur) or the probe carries no signal
+    keeps = {r["keep"] for r in rows}
+    assert keeps == {True, False}
