@@ -134,7 +134,10 @@ def main() -> None:
     for name in ("q_hash_agg", "q_window_dedupe", "q_equi_join_3way", "q_topk",
                  "q_dedup_exact", "q_token_count", "q_fingerprint",
                  "q_minhash_pairs", "q_simhash", "q_ann_cosine_topk",
-                 "q_pdf_extract", "q_image_decode", "q_repetition_filter"):
+                 "q_pdf_extract", "q_image_decode", "q_repetition_filter",
+                 # late-r4 corpus-maintenance flagships (adds ~2.5s to
+                 # the suite total vs r3's query set)
+                 "q_paragraph_dedup", "q_pagerank"):
         best = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()
