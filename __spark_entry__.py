@@ -234,9 +234,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # xxhash64 has no DuckDB twin; equality vs the string-key
         # version is pytest-asserted)
         "q_decontaminate_hashed": FL.q_decontaminate_hashed,
-        # sketch-accuracy audit (oracle-backed; pytest-L3-graded from
-        # the tail — the graded window is full)
-        "q_minhash_est_vs_exact": T.q_minhash_est_vs_exact,
     }
 
 

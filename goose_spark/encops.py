@@ -86,9 +86,10 @@ FROM documents
 # string arrives from the web in composed and decomposed forms and would
 # otherwise defeat exact dedup and fingerprinting. The ASCII corpus is
 # decorated with one of four deterministic suffixes per doc_id: a
-# composing pair (e + U+0301), a canonical-REORDER case (o + U+0323 +
-# U+0301 — marks arrive out of canonical order and must sort before
-# composing), an already-NFC string (U+00E9 — must pass through
+# composing pair (e + U+0301), a canonical-REORDER case (o + U+0301 +
+# U+0323 — acute (ccc 230) arrives BEFORE dot-below (ccc 220), out of
+# canonical order, so NFC must sort the marks and then compose
+# o+dot-below to U+1ECD), an already-NFC string (U+00E9 — must pass through
 # unchanged), and a ring pair (A + U+030A). NFC itself is a pandas UDF
 # (Python unicodedata) — Spark has no normalization builtin — and the
 # oracle is DuckDB's independent utf8proc-backed nfc_normalize(), so a

@@ -13,12 +13,9 @@ from pyspark.sql import functions as F
 from goose_spark import corpusops as C
 from goose_spark import encops as E
 
+from test_plans import _plan  # shared formatted-explain helper
+
 SF = "/root/testdata/sf0.01"
-
-
-def _plan(df) -> str:
-    return df._sc._jvm.PythonSQLUtils.explainString(
-        df._jdf.queryExecution(), "formatted")
 
 
 # ------------------------------------------------------ paragraph dedup --
@@ -77,11 +74,15 @@ def test_mix_sample_respects_budget_semantics(spark):
 def test_mix_sample_broadcasts_rates_no_corpus_shuffle(spark):
     plan = _plan(C.q_mix_sample(spark, SF))
     assert "BroadcastHashJoin" in plan
-    # the only exchanges allowed are the broadcast itself and the tiny
-    # per-language aggregate feeding it — never a corpus-wide hash
-    # repartition of the base rows (count the shuffle exchanges)
-    n_shuffles = plan.count("Exchange hashpartitioning")
-    assert n_shuffles <= 1, f"corpus rows must not shuffle:\n{plan}"
+    # the only shuffle allowed is the tiny per-language aggregate
+    # feeding the broadcast — never a corpus-wide hash repartition of
+    # the base rows. Count shuffle Exchange nodes in the TREE section
+    # ("Exchange hashpartitioning" never appears as one string in
+    # formatted output — the arguments sit on a separate detail line).
+    tree = plan.split("\n\n")[0]
+    n_shuffles = sum(1 for ln in tree.splitlines()
+                     if "Exchange" in ln and "BroadcastExchange" not in ln)
+    assert n_shuffles == 1, f"corpus rows must not shuffle:\n{tree}"
 
 
 # ---------------------------------------------------------- crawl delta --
