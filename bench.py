@@ -60,7 +60,10 @@ def main() -> None:
     # the wait is recorded in the output, never the timings.
     precool = 0.0
     try:
-        while precool < 120 and os.getloadavg()[0] > 2.0:
+        # 1.2 not 2.0: a session launched at load 1.8 (just under the
+        # old gate) still recorded a 54 s first pass on code whose
+        # quiet-window time is 14.9 s
+        while precool < 120 and os.getloadavg()[0] > 1.2:
             time.sleep(10)
             precool += 10
     except OSError:  # pragma: no cover - platforms without getloadavg
@@ -106,7 +109,11 @@ def main() -> None:
     hist_best = _HISTORICAL_BEST_S.get(round(sf, 4))
     runs: list[float] = []
     row = None
-    while len(runs) < 4 and sum(runs) < 300:  # cap total retry budget
+    # attempt cap 6 (was 4): the 300 s time budget is the real guard;
+    # a noisy epoch with 30-50 s passes deserves the extra chances
+    # (observed [54, 104, 38, 29] stopping at the old attempt cap with
+    # 76 s of budget left and the window visibly improving)
+    while len(runs) < 6 and sum(runs) < 300:  # cap total retry budget
         t, r = _extract_pass()
         runs.append(t)
         row = r if row is None else row
