@@ -150,7 +150,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_exact": T.q_dedup_exact,
         "q_token_bpeish": T.q_token_bpeish,
         "q_quality_score": T.q_quality_score,
-        "q_fingerprint": T.q_fingerprint,
         "q_minhash_pairs": T.q_minhash_pairs,
         "q_simhash": T.q_simhash,
         "q_simhash_pairs": T.q_simhash_pairs,
@@ -171,6 +170,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_mix_sample": CO.q_mix_sample,
         "q_crawl_delta": CO.q_crawl_delta,
         "q_pmi_bigrams": CO.q_pmi_bigrams,
+        # outlink extraction: real DOM parse + urljoin, edge set
+        # oracle-proven identical to q_pagerank's planted graph
+        "q_link_extract": CO.q_link_extract,
         # unicode NFC normalization (late r4): Python unicodedata vs
         # DuckDB utf8proc — two independent NFC implementations gated
         "q_unicode_nfc": EN.q_unicode_nfc,
@@ -230,6 +232,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # whitespace token count)
         "q_token_count": T.q_token_count,
         "q_domain_cap": FL.q_domain_cap,
+        "q_fingerprint": T.q_fingerprint,
         # 8-byte-key decontamination (the 10^12-row shape; rows-only —
         # xxhash64 has no DuckDB twin; equality vs the string-key
         # version is pytest-asserted)
@@ -311,6 +314,7 @@ def oracle_sql() -> dict[str, str]:
         "q_mix_sample": CO.ORACLE_MIX_SAMPLE,
         "q_crawl_delta": CO.ORACLE_CRAWL_DELTA,
         "q_pmi_bigrams": CO.ORACLE_PMI_BIGRAMS,
+        "q_link_extract": CO.ORACLE_LINK_EXTRACT,
         "q_unicode_nfc": EN.ORACLE_UNICODE_NFC,
     }
     from goose_spark import ann as A

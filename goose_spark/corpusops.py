@@ -1,8 +1,9 @@
 """Corpus-maintenance operators (round 4): the jobs a web-scale
 training-data pipeline runs BETWEEN crawls and extraction passes —
 paragraph-level boilerplate removal (CCNet-style line dedup), mixture
-sampling to per-language token budgets, crawl-snapshot deltas, and PMI
-collocation mining.
+sampling to per-language token budgets, crawl-snapshot deltas, PMI
+collocation mining, and outlink extraction (the link-graph feed for
+components.q_pagerank).
 
 House rules (same as textops/filterops): every step is a JVM-side
 expression; outputs are exact integers / md5 gates so each probe is
@@ -12,6 +13,7 @@ come from ONE SQL template shared verbatim by both engines.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -267,4 +269,84 @@ JOIN uni b ON b.term = string_split(bigram, ' ')[2]
 CROSS JOIN total
 ORDER BY score DESC, bigram
 LIMIT {PMI_TOP_K}
+"""
+
+
+# ------------------------------------------------------ link extraction --
+# Closes the crawl loop: page HTML -> DOM parse -> outlink extraction ->
+# link graph -> q_pagerank. Each doc gets a deterministic page whose
+# anchors encode the SAME modular targets as components.q_pagerank's
+# synthesized graph (P/Q constants imported, not copied), in three href
+# shapes a real crawl sees — root-relative ("/d/7"), dot-dot-relative
+# ("../d/7"), and protocol-absolute — all resolved by urllib's urljoin
+# against the page URL. The DuckDB oracle never parses HTML: it
+# recomputes the resolved URLs closed-form, so a hash match proves the
+# real parser + resolver chain (gooselite.minidom + urljoin) extracted
+# exactly the planted edge set. A pytest additionally asserts this edge
+# set equals q_pagerank's own edges.
+
+
+def _link_pages(batches):
+    from urllib.parse import urljoin
+
+    from gooselite.minidom import parse_html
+
+    for pdf in batches:
+        out = {"doc_id": [], "pos": [], "dst_url": []}
+        for doc_id, source, n in zip(
+                pdf["doc_id"], pdf["source"], pdf["n"]):
+            doc_id, n = int(doc_id), int(n)
+            page_url = f"https://{source}.example/d/{doc_id}"
+            anchors = []
+            for k in range(doc_id % 3 + 1):
+                t = (doc_id * (7, 31, 97)[k] + (13, 57, 241)[k]) % n
+                if k == 0:
+                    href = f"/d/{t}"                        # root-relative
+                elif k == 1:
+                    href = f"../d/{t}"                      # needs '..'
+                else:
+                    href = f"https://{source}.example/d/{t}"  # absolute
+                anchors.append(f'<a href="{href}">link {k}</a>')
+            html = (f"<html><body><nav>{' '.join(anchors)}</nav>"
+                    f"<p>article body</p></body></html>")
+            root = parse_html(html)
+            for pos, a in enumerate(root.get_elements_by_tag("a")):
+                href = (a.attrib or {}).get("href")
+                if href:
+                    out["doc_id"].append(doc_id)
+                    out["pos"].append(pos)
+                    out["dst_url"].append(urljoin(page_url, href))
+        yield pd.DataFrame({
+            "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+            "pos": pd.Series(out["pos"], dtype="int32"),
+            "dst_url": pd.Series(out["dst_url"], dtype="object"),
+        })
+
+
+def q_link_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlink extraction: one mapInPandas pass (parse + resolve), no
+    shuffle of page bytes; N enters via a broadcast 1-row aggregate.
+    At crawl scale this runs fused with the extraction UDF over the
+    same WARC batches — the edge list, not the HTML, is what shuffles
+    into the q_pagerank rounds."""
+    d = load(spark, sf_dir, "documents")
+    n_df = d.groupBy().agg(F.count(F.lit(1)).alias("n"))
+    src = d.select("doc_id", "source").crossJoin(F.broadcast(n_df))
+    return src.mapInPandas(
+        _link_pages, schema="doc_id long, pos int, dst_url string")
+
+
+ORACLE_LINK_EXTRACT = """
+WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+d AS (SELECT doc_id, source, n FROM documents, nn),
+e AS (SELECT doc_id, source, n,
+             unnest(generate_series(0, CAST(doc_id % 3 AS INT))) AS pos
+      FROM d)
+SELECT doc_id, CAST(pos AS INT) AS pos,
+       'https://' || source || '.example/d/' ||
+       CAST((doc_id * (CASE WHEN pos = 0 THEN 7 WHEN pos = 1 THEN 31
+                            ELSE 97 END)
+             + (CASE WHEN pos = 0 THEN 13 WHEN pos = 1 THEN 57
+                     ELSE 241 END)) % n AS VARCHAR) AS dst_url
+FROM e
 """

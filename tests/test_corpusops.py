@@ -205,3 +205,34 @@ def test_quality_classifier_pure_codegen_no_shuffle(spark):
     # occur) or the probe carries no signal
     keeps = {r["keep"] for r in rows}
     assert keeps == {True, False}
+
+
+# ------------------------------------------------------ link extraction --
+def test_link_extract_edges_equal_pagerank_graph(spark):
+    """The crawl loop closes: the edge set the REAL parser+resolver
+    extracts from the synthesized pages is exactly the modular graph
+    q_pagerank ranks over."""
+    from goose_spark import components as CC
+
+    rows = C.q_link_extract(spark, SF).collect()
+    n = spark.read.parquet(f"{SF}/documents.parquet").count()
+    extracted = {(r["doc_id"], int(r["dst_url"].rsplit("/", 1)[1]))
+                 for r in rows}
+    P, Q = (7, 31, 97), (13, 57, 241)
+    planted = {(u, (u * P[k] + Q[k]) % n)
+               for u in range(n) for k in range(u % 3 + 1)}
+    assert extracted == planted
+    # href shape coverage: every resolved URL is absolute on the page's
+    # own host (root-relative, ../-relative and absolute forms all
+    # normalize to the same canonical shape)
+    assert all(r["dst_url"].startswith("https://") and "/../" not in
+               r["dst_url"] and "/d/" in r["dst_url"] for r in rows)
+
+
+def test_link_extract_single_python_pass(spark):
+    tree = _plan(C.q_link_extract(spark, SF)).split("\n\n")[0]
+    assert tree.count("MapInPandas") == 1, "parse+resolve in ONE pass"
+    # the only shuffle is the SinglePartition exchange under the 1-row
+    # COUNT(*) aggregate that broadcasts N — page rows never shuffle
+    assert sum(1 for ln in tree.splitlines()
+               if "Exchange" in ln and "BroadcastExchange" not in ln) == 1
