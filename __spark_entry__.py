@@ -102,6 +102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from goose_spark import warcops as W
     from goose_spark import queries as Q
     from goose_spark import robotsops as RB
+    from goose_spark import structops as ST
     from goose_spark import textops as T
     from goose_spark import videoops as V
 
@@ -149,14 +150,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # training-data ops: dedup / text analysis
         "q_dedup_exact": T.q_dedup_exact,
         "q_token_bpeish": T.q_token_bpeish,
-        "q_quality_score": T.q_quality_score,
         "q_minhash_pairs": T.q_minhash_pairs,
         "q_simhash": T.q_simhash,
         "q_simhash_pairs": T.q_simhash_pairs,
         "q_lang_id": T.q_lang_id,
-        "q_ngram_jaccard": T.q_ngram_jaccard,
         "q_url_normalize": T.q_url_normalize,
         "q_gopher_rules": T.q_gopher_rules,
+        # structured-data harvesting (late r4): JSON-LD article
+        # metadata (script payload retained via keep_raw_text opt-in,
+        # decoy-script dispatch, JSON round-trip) and web tables
+        "q_jsonld_extract": ST.q_jsonld_extract,
+        "q_table_extract": ST.q_table_extract,
         # corpus statistics (r4): keyword extraction + length profiling
         "q_tfidf_top_terms": T.q_tfidf_top_terms,
         "q_length_quantiles": T.q_length_quantiles,
@@ -233,6 +237,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_token_count": T.q_token_count,
         "q_domain_cap": FL.q_domain_cap,
         "q_fingerprint": T.q_fingerprint,
+        "q_quality_score": T.q_quality_score,
+        "q_ngram_jaccard": T.q_ngram_jaccard,
         # 8-byte-key decontamination (the 10^12-row shape; rows-only —
         # xxhash64 has no DuckDB twin; equality vs the string-key
         # version is pytest-asserted)
@@ -255,6 +261,7 @@ def oracle_sql() -> dict[str, str]:
     from goose_spark import warcops as W
     from goose_spark import queries as Q
     from goose_spark import robotsops as RB
+    from goose_spark import structops as ST
     from goose_spark import textops as T
     from goose_spark import videoops as V
 
@@ -291,6 +298,8 @@ def oracle_sql() -> dict[str, str]:
         "q_ngram_jaccard": T.ORACLE_NGRAM_JACCARD,
         "q_url_normalize": T.ORACLE_URL_NORMALIZE,
         "q_gopher_rules": T.ORACLE_GOPHER_RULES,
+        "q_jsonld_extract": ST.ORACLE_JSONLD_EXTRACT,
+        "q_table_extract": ST.ORACLE_TABLE_EXTRACT,
         "q_pdf_extract": PD.ORACLE_PDF_EXTRACT,
         "q_warc_roundtrip": W.ORACLE_WARC_ROUNDTRIP,
         "q_warc_extract": W.ORACLE_WARC_EXTRACT,

@@ -1,0 +1,156 @@
+"""Structured-data harvesting from pages (round 4): JSON-LD article
+metadata and web-table extraction — the two structured channels a
+modern extractor reads BESIDE the article text (schema.org JSON-LD is
+today's canonical publish-date/headline source; HTML tables feed
+tabular training data).
+
+Both probes synthesize the structured payload per doc from closed-form
+doc_id-keyed rules, run the REAL parser chain on workers
+(gooselite.minidom with keep_raw_text=True for script payloads +
+stdlib json), and gate the extracted values against a DuckDB oracle
+that recomputes them closed-form — a hash match proves the parser,
+the script-payload retention path, and the JSON/table walk extracted
+exactly what was planted. One mapInPandas pass each, no shuffle of
+page bytes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from goose_spark.queries import load
+
+
+# -------------------------------------------------------------- JSON-LD --
+def _jsonld_pages(batches):
+    from gooselite.minidom import parse_html
+
+    for pdf in batches:
+        out = {"doc_id": [], "headline": [], "date_published": [],
+               "word_count": []}
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            doc_id = int(doc_id)
+            day = doc_id % 28 + 1
+            payload = json.dumps({
+                "@context": "https://schema.org",
+                "@type": "NewsArticle",
+                "headline": f"headline {doc_id}",
+                "datePublished": f"2026-01-{day:02d}",
+                "wordCount": len((text or "").split()),
+            })
+            html = (
+                "<html><head>"
+                f'<script type="application/ld+json">{payload}</script>'
+                '<script>var decoy = {"headline": "not this one"};</script>'
+                f"</head><body><p>{(text or '')[:60]}</p></body></html>")
+            root = parse_html(html, keep_raw_text=True)
+            meta = {}
+            for s in root.get_elements_by_tag("script"):
+                if (s.attrib or {}).get("type") == "application/ld+json":
+                    try:
+                        meta = json.loads(s.raw_text())
+                    except ValueError:
+                        meta = {}
+                    break
+            out["doc_id"].append(doc_id)
+            out["headline"].append(meta.get("headline"))
+            out["date_published"].append(meta.get("datePublished"))
+            out["word_count"].append(int(meta.get("wordCount", -1)))
+        yield pd.DataFrame({
+            "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+            "headline": pd.Series(out["headline"], dtype="object"),
+            "date_published": pd.Series(out["date_published"],
+                                        dtype="object"),
+            "word_count": pd.Series(out["word_count"], dtype="int64"),
+        })
+
+
+def q_jsonld_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """schema.org JSON-LD harvesting: the planted NewsArticle object
+    must come back through DOM parse (script payload retained via the
+    keep_raw_text opt-in), type-dispatch past a decoy plain script, and
+    a JSON round-trip. wordCount ties the payload to the corpus text so
+    the oracle cross-checks tokenization too."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.mapInPandas(
+        _jsonld_pages,
+        schema="doc_id long, headline string, date_published string,"
+               " word_count long")
+
+
+ORACLE_JSONLD_EXTRACT = """
+SELECT doc_id,
+       'headline ' || CAST(doc_id AS VARCHAR) AS headline,
+       '2026-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+           AS date_published,
+       CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+           AS word_count
+FROM documents
+"""
+
+
+# ------------------------------------------------------ table extraction --
+_TBL_ROWS = 3
+
+
+def _table_pages(batches):
+    from gooselite.minidom import parse_html
+
+    for pdf in batches:
+        out = {"doc_id": [], "n_rows": [], "col_sum": [], "cells_md5": []}
+        for doc_id in pdf["doc_id"]:
+            doc_id = int(doc_id)
+            rows = "".join(
+                f"<tr><td>row {i}</td><td>{doc_id * i % 97}</td></tr>"
+                for i in range(1, _TBL_ROWS + 1))
+            html = (
+                "<html><body><table>"
+                "<tr><th>key</th><th>value</th></tr>"
+                f"{rows}</table></body></html>")
+            root = parse_html(html)
+            cells, n_rows, col_sum = [], 0, 0
+            for tr in root.get_elements_by_tag("tr"):
+                tds = tr.get_elements_by_tag("td")
+                if not tds:  # header row (th only)
+                    continue
+                n_rows += 1
+                col_sum += int(tds[-1].get_text())
+                cells.extend(td.get_text() for td in tds)
+            out["doc_id"].append(doc_id)
+            out["n_rows"].append(n_rows)
+            out["col_sum"].append(col_sum)
+            out["cells_md5"].append(
+                hashlib.md5("|".join(cells).encode("utf-8")).hexdigest())
+        yield pd.DataFrame({
+            "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+            "n_rows": pd.Series(out["n_rows"], dtype="int64"),
+            "col_sum": pd.Series(out["col_sum"], dtype="int64"),
+            "cells_md5": pd.Series(out["cells_md5"], dtype="object"),
+        })
+
+
+def q_table_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-table harvesting: planted 2-column tables parsed back via
+    the DOM walk (tr/td traversal, th header skipped), numeric column
+    summed exactly, all cell texts md5-gated in traversal order."""
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    return d.mapInPandas(
+        _table_pages,
+        schema="doc_id long, n_rows long, col_sum long, cells_md5 string")
+
+
+ORACLE_TABLE_EXTRACT = f"""
+SELECT doc_id,
+       CAST({_TBL_ROWS} AS BIGINT) AS n_rows,
+       CAST(doc_id * 1 % 97 + doc_id * 2 % 97 + doc_id * 3 % 97 AS BIGINT)
+           AS col_sum,
+       md5('row 1|' || CAST(doc_id * 1 % 97 AS VARCHAR) ||
+           '|row 2|' || CAST(doc_id * 2 % 97 AS VARCHAR) ||
+           '|row 3|' || CAST(doc_id * 3 % 97 AS VARCHAR)) AS cells_md5
+FROM documents
+"""

@@ -305,10 +305,14 @@ _IMPLIED_CLOSE: dict[str, tuple[frozenset[str], frozenset[str]]] = {
 
 
 class _TreeBuilder(HTMLParser):
-    def __init__(self) -> None:
+    def __init__(self, keep_raw_text: bool = False) -> None:
         super().__init__(convert_charrefs=True)
         self.root = Node(DOCUMENT)
         self.stack: list[Node] = [self.root]
+        # opt-in: keep script/style text nodes (JSON-LD harvesting
+        # needs <script type="application/ld+json"> payloads); the
+        # extraction pipeline keeps the default skip
+        self.keep_raw_text = keep_raw_text
 
     # helpers -----------------------------------------------------------------
     def _top(self) -> Node:
@@ -365,7 +369,7 @@ class _TreeBuilder(HTMLParser):
             # metadata getter looks inside them — skipping the text node
             # at parse time avoids allocating/copying the (often large)
             # JS/CSS payload of real-world pages entirely
-            if self.stack[-1].tag in RAW_TEXT_TAGS:
+            if self.stack[-1].tag in RAW_TEXT_TAGS and not self.keep_raw_text:
                 return
             self._top().append(new_text(data))
 
@@ -386,10 +390,12 @@ class _TreeBuilder(HTMLParser):
         pass
 
 
-def parse_html(text: str) -> Node:
+def parse_html(text: str, keep_raw_text: bool = False) -> Node:
     """Parse an HTML string into a mini-DOM; raises ParseError on
-    unrecoverable parser failures (rare — html.parser is lenient)."""
-    builder = _TreeBuilder()
+    unrecoverable parser failures (rare — html.parser is lenient).
+    ``keep_raw_text=True`` retains script/style text nodes (JSON-LD
+    harvesting); the extraction pipeline uses the default skip."""
+    builder = _TreeBuilder(keep_raw_text)
     try:
         builder.feed(text)
         builder.close()
