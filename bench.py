@@ -96,7 +96,7 @@ def main() -> None:
         F.count(F.lit(1))).collect()  # warm-up, untimed
 
     # adaptive min-of-N: keep timing until the two best passes agree
-    # within 20% (max 4). Quiet windows stop at 2; a noisy window
+    # within 20% (attempt cap below). Quiet windows stop at 2; a noisy window
     # (observed 134 s then 31 s, identical code) gets more chances to
     # catch a gap in the interference.
     #

@@ -175,9 +175,17 @@ PR_ITERS = 5
 
 # shared edge-target lambda body (Spark transform / DuckDB
 # list_transform agree on CASE + %): k-th target of node doc_id
-_PR_DST = ("(doc_id * (CASE WHEN k = 0 THEN 7 WHEN k = 1 THEN 31"
-           " ELSE 97 END) + (CASE WHEN k = 0 THEN 13 WHEN k = 1 THEN 57"
-           " ELSE 241 END)) % n")
+# edge-target constants: the k-th outlink of node u is
+# (u * PR_MULT[k] + PR_ADD[k]) % N. The single source of truth —
+# q_link_extract's page synthesis, its oracle, and the pytests all
+# import these (retuning them here retunes the whole crawl loop).
+PR_MULT = (7, 31, 97)
+PR_ADD = (13, 57, 241)
+_PR_DST = (f"(doc_id * (CASE WHEN k = 0 THEN {PR_MULT[0]}"
+           f" WHEN k = 1 THEN {PR_MULT[1]} ELSE {PR_MULT[2]} END)"
+           f" + (CASE WHEN k = 0 THEN {PR_ADD[0]}"
+           f" WHEN k = 1 THEN {PR_ADD[1]}"
+           f" ELSE {PR_ADD[2]} END)) % n")
 
 
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:

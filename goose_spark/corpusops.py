@@ -289,6 +289,7 @@ LIMIT {PMI_TOP_K}
 def _link_pages(batches):
     from urllib.parse import urljoin
 
+    from goose_spark.components import PR_ADD, PR_MULT
     from gooselite.minidom import parse_html
 
     for pdf in batches:
@@ -299,7 +300,7 @@ def _link_pages(batches):
             page_url = f"https://{source}.example/d/{doc_id}"
             anchors = []
             for k in range(doc_id % 3 + 1):
-                t = (doc_id * (7, 31, 97)[k] + (13, 57, 241)[k]) % n
+                t = (doc_id * PR_MULT[k] + PR_ADD[k]) % n
                 if k == 0:
                     href = f"/d/{t}"                        # root-relative
                 elif k == 1:
@@ -336,7 +337,10 @@ def q_link_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         _link_pages, schema="doc_id long, pos int, dst_url string")
 
 
-ORACLE_LINK_EXTRACT = """
+def _oracle_link_extract() -> str:
+    from goose_spark.components import PR_ADD, PR_MULT
+
+    return f"""
 WITH nn AS (SELECT COUNT(*) AS n FROM documents),
 d AS (SELECT doc_id, source, n FROM documents, nn),
 e AS (SELECT doc_id, source, n,
@@ -344,9 +348,14 @@ e AS (SELECT doc_id, source, n,
       FROM d)
 SELECT doc_id, CAST(pos AS INT) AS pos,
        'https://' || source || '.example/d/' ||
-       CAST((doc_id * (CASE WHEN pos = 0 THEN 7 WHEN pos = 1 THEN 31
-                            ELSE 97 END)
-             + (CASE WHEN pos = 0 THEN 13 WHEN pos = 1 THEN 57
-                     ELSE 241 END)) % n AS VARCHAR) AS dst_url
+       CAST((doc_id * (CASE WHEN pos = 0 THEN {PR_MULT[0]}
+                            WHEN pos = 1 THEN {PR_MULT[1]}
+                            ELSE {PR_MULT[2]} END)
+             + (CASE WHEN pos = 0 THEN {PR_ADD[0]}
+                     WHEN pos = 1 THEN {PR_ADD[1]}
+                     ELSE {PR_ADD[2]} END)) % n AS VARCHAR) AS dst_url
 FROM e
 """
+
+
+ORACLE_LINK_EXTRACT = _oracle_link_extract()

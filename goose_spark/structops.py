@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import hashlib
 import json
+import re
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -41,7 +42,13 @@ def _jsonld_pages(batches):
                 "@type": "NewsArticle",
                 "headline": f"headline {doc_id}",
                 "datePublished": f"2026-01-{day:02d}",
-                "wordCount": len((text or "").split()),
+                # trim + ASCII \s+ split, matching the oracle's
+                # string_split_regex(trim(text), '\s+') exactly (str
+                # .split() would diverge on empty text — 0 vs 1 — and
+                # on non-ASCII whitespace, which Python \s matches but
+                # RE2/Java \s does not without re.ASCII)
+                "wordCount": len(re.split(
+                    r"\s+", (text or "").strip(), flags=re.ASCII)),
             })
             html = (
                 "<html><head>"
@@ -144,13 +151,16 @@ def q_table_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="doc_id long, n_rows long, col_sum long, cells_md5 string")
 
 
+_TBL_SUM = " + ".join(
+    f"doc_id * {i} % 97" for i in range(1, _TBL_ROWS + 1))
+_TBL_CELLS = " || '|' || ".join(
+    f"'row {i}' || '|' || CAST(doc_id * {i} % 97 AS VARCHAR)"
+    for i in range(1, _TBL_ROWS + 1))
+
 ORACLE_TABLE_EXTRACT = f"""
 SELECT doc_id,
        CAST({_TBL_ROWS} AS BIGINT) AS n_rows,
-       CAST(doc_id * 1 % 97 + doc_id * 2 % 97 + doc_id * 3 % 97 AS BIGINT)
-           AS col_sum,
-       md5('row 1|' || CAST(doc_id * 1 % 97 AS VARCHAR) ||
-           '|row 2|' || CAST(doc_id * 2 % 97 AS VARCHAR) ||
-           '|row 3|' || CAST(doc_id * 3 % 97 AS VARCHAR)) AS cells_md5
+       CAST({_TBL_SUM} AS BIGINT) AS col_sum,
+       md5({_TBL_CELLS}) AS cells_md5
 FROM documents
 """

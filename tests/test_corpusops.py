@@ -158,7 +158,7 @@ def test_pagerank_exact_semantics(spark):
     assert n == 500
     base = (15 * (CC.PR_SCALE // n)) // 100
     # recompute the whole 5-iteration process in plain Python
-    P, Q = (7, 31, 97), (13, 57, 241)
+    P, Q = CC.PR_MULT, CC.PR_ADD
     edges = []
     for u in range(n):
         for k in range(u % 3 + 1):
@@ -218,7 +218,7 @@ def test_link_extract_edges_equal_pagerank_graph(spark):
     n = spark.read.parquet(f"{SF}/documents.parquet").count()
     extracted = {(r["doc_id"], int(r["dst_url"].rsplit("/", 1)[1]))
                  for r in rows}
-    P, Q = (7, 31, 97), (13, 57, 241)
+    P, Q = CC.PR_MULT, CC.PR_ADD
     planted = {(u, (u * P[k] + Q[k]) % n)
                for u in range(n) for k in range(u % 3 + 1)}
     assert extracted == planted
