@@ -35,7 +35,7 @@ EPOCH = datetime(2025, 1, 1, tzinfo=timezone.utc)
 
 # Bump when the template or stopword tables change: the /tmp cache key
 # includes it, so stale fixtures regenerate instead of mismatching code.
-FIXTURE_VERSION = 9  # v9: paragraph/sibling element-text escaping
+FIXTURE_VERSION = 10  # v10: author bylines (A4-ext goldens)
 
 # Languages cycled onto a deterministic share of docs so fixtures exercise
 # every shipped stopword table (VERDICT r1 item 3), beyond the seed
@@ -63,6 +63,7 @@ _HEAD = (
     "<title>{title_tag} | s{site}</title>\n"
     "{og_title}"
     "{publish_meta}"
+    "{author_meta}"
     "{image_meta}"
     '<meta name="description" content="{desc}">\n'
     '<meta name="keywords" content="{keywords}">\n'
@@ -134,7 +135,8 @@ def _build_doc(doc_id: int, text: str, lang: str | None) -> dict:
 def _render(doc_id: int, built: dict, page_lang_attr: str, charset: str,
             og_title: bool = False, publish_date: str | None = None,
             movies: list[str] | None = None,
-            image: str | None = None) -> str:
+            image: str | None = None,
+            authors: list[str] | None = None) -> str:
     site = doc_id % 40
     # og:title pages carry a boilerplate <title> the extractor must NOT
     # pick (A4: og:title wins)
@@ -154,6 +156,8 @@ def _render(doc_id: int, built: dict, page_lang_attr: str, charset: str,
           if og_title else "")
     pub = (f'<meta property="article:published_time" content="{esc(publish_date)}">\n'
            if publish_date else "")
+    auth = "".join(f'<meta name="author" content="{esc(a)}">\n'
+                   for a in (authors or []))
     # ~half of image pages declare og:image, the rest twitter:image —
     # exercises both meta schemas; relative path exercises urljoin
     if image is None:
@@ -164,7 +168,8 @@ def _render(doc_id: int, built: dict, page_lang_attr: str, charset: str,
         img = f'<meta name="twitter:image" content="{esc(image)}">\n'
     head = _HEAD.format(
         lang=page_lang_attr, charset=charset, title_tag=title_tag,
-        og_title=og, publish_meta=pub, image_meta=img, site=site,
+        og_title=og, publish_meta=pub, author_meta=auth, image_meta=img,
+        site=site,
         desc=esc(f"summary of article {doc_id}"),
         keywords=esc(f"k{doc_id % 7}, k{doc_id % 11}"),
         canonical=f"/canon/{doc_id}",
@@ -224,6 +229,8 @@ def generate(documents_parquet: str, out_dir: str, copies: int = 1) -> tuple[str
             pd_ts = EPOCH + timedelta(hours=(doc_id * 7919) % 8760)
             publish_date = pd_ts.strftime("%Y-%m-%dT%H:%M:%S+00:00")
         movies = ([f"https://www.youtube.com/embed/v{doc_id}"] if with_movie else [])
+        # 2/3 of pages carry an author byline meta (A4-ext goldens)
+        authors = ([f"writer {doc_id % 7}"] if doc_id % 3 != 2 else [])
         # relative for a third of image pages (urljoin against page url)
         image = None
         if with_image:
@@ -233,7 +240,7 @@ def generate(documents_parquet: str, out_dir: str, copies: int = 1) -> tuple[str
         charset = "iso-8859-1" if latin1 else "utf-8"
         html_text = _render(doc_id, built, doc_lang or built["eff"], charset,
                             og_title=og_title, publish_date=publish_date,
-                            movies=movies, image=image)
+                            movies=movies, image=image, authors=authors)
         html_bytes: bytes | None
         try:
             html_bytes = html_text.encode(charset)
@@ -243,7 +250,7 @@ def generate(documents_parquet: str, out_dir: str, copies: int = 1) -> tuple[str
             charset = "utf-8"
             html_text = _render(doc_id, built, doc_lang or built["eff"], charset,
                                 og_title=og_title, publish_date=publish_date,
-                                movies=movies, image=image)
+                                movies=movies, image=image, authors=authors)
             html_bytes = html_text.encode(charset)
 
         status = "ok"
@@ -252,17 +259,18 @@ def generate(documents_parquet: str, out_dir: str, copies: int = 1) -> tuple[str
         expected_publish = publish_date
         expected_movies = list(movies)
         expected_image = image  # resolved per-copy url below (urljoin)
+        expected_authors = list(authors)
         if null_html:
             html_bytes = None
             status, expected_text, expected_title = "empty", "", ""
             expected_publish, expected_movies = None, []
-            expected_image = None
+            expected_image, expected_authors = None, []
         elif truncated:
             cut = html_text.encode("utf-8").find(b"<title")
             html_bytes = html_text.encode("utf-8")[:cut]
             status, expected_text, expected_title = "empty", "", ""
             expected_publish, expected_movies = None, []
-            expected_image = None
+            expected_image, expected_authors = None, []
 
         for c in range(copies):
             suffix = "" if c == 0 else f"-{c}"
@@ -281,7 +289,8 @@ def generate(documents_parquet: str, out_dir: str, copies: int = 1) -> tuple[str
                             "expected_movies": expected_movies,
                             "expected_top_image": (
                                 urljoin(url, expected_image)
-                                if expected_image else None)})
+                                if expected_image else None),
+                            "expected_authors": expected_authors})
 
     pages_schema = pa.schema([
         ("url", pa.string()), ("warc_ts", pa.timestamp("us", tz="UTC")),

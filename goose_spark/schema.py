@@ -41,6 +41,11 @@ EXTRACTED = StructType([
     StructField("movies", ArrayType(StringType()), True),  # A18 video srcs
     StructField("publish_date", StringType(), True),  # A19, as stated on page
     StructField("top_image", StringType(), True),     # A17-lite: og/twitter image
+    StructField("authors", ArrayType(StringType()), True),    # A4-ext bylines
+    # full OpenGraph map as sorted "key=value" strings (a map column's
+    # iteration order is nondeterministic on collect; array is stable)
+    StructField("opengraph", ArrayType(StringType()), True),
+    StructField("links", ArrayType(StringType()), True),  # A16-ext: in-article anchors
     StructField("lang_fallback", BooleanType(), True),  # A5 non-primary lang
     StructField("status", StringType(), False),       # ok|empty|parse_error|decode_error
     StructField("err", StringType(), True),

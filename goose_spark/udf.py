@@ -80,7 +80,8 @@ def _timeout_result(html, lang, url, budget_s: float, config=None):
 _OUT_COLS = [
     "url", "warc_ts", "lang", "title", "cleaned_text", "meta_description",
     "meta_keywords", "meta_lang", "canonical_link", "domain", "tags",
-    "movies", "publish_date", "top_image", "lang_fallback",
+    "movies", "publish_date", "top_image", "authors", "opengraph", "links",
+    "lang_fallback",
     "status", "err", "bytes_in", "parse_ms", "partition_id", "bucket",
 ]
 

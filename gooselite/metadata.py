@@ -228,3 +228,65 @@ def extract_tags(root: Node, idx: dict | None = None) -> list[str]:
             if text:
                 tags.add(text)
     return sorted(tags)
+
+
+# A4-ext: author byline meta conventions, in goose-family priority order
+# (meta[name=author] first, then the article/dublin-core forms).
+_AUTHOR_META = (
+    ("name", "author"),
+    ("property", "article:author"),
+    ("name", "dc.creator"),
+    ("itemprop", "author"),
+)
+
+
+def get_authors(root: Node, idx: dict | None = None) -> list[str]:
+    """A4-ext: author bylines from meta tags, priority-ordered with an
+    order-preserving dedupe (a page repeating the same byline in two
+    conventions yields it once)."""
+    metas = _nodes(root, idx, "meta")
+    out: list[str] = []
+    seen: set[str] = set()
+    for attr, value in _AUTHOR_META:
+        target = value.lower()
+        for meta in metas:
+            if meta.attrib.get(attr, "").lower() == target:
+                content = inner_trim(meta.attrib.get("content", ""))
+                if content and content.lower() not in seen:
+                    seen.add(content.lower())
+                    out.append(content)
+    return out
+
+
+def get_opengraph(root: Node, idx: dict | None = None) -> dict[str, str]:
+    """A4-ext: the full OpenGraph map — every meta[property="og:*"]
+    keyed by the property minus its "og:" prefix; first occurrence wins
+    (same first-wins rule as the og:title lookup in get_title)."""
+    og: dict[str, str] = {}
+    for meta in _nodes(root, idx, "meta"):
+        prop = meta.attrib.get("property", "").strip().lower()
+        if prop.startswith("og:"):
+            content = inner_trim(meta.attrib.get("content", ""))
+            if content:
+                og.setdefault(prop[3:], content)
+    return og
+
+
+def extract_links(top_node: Node | None, url: str) -> list[str]:
+    """A16-ext: absolute hrefs of anchors INSIDE the extracted article
+    (the goose-family Article.links field) — boilerplate/nav anchors are
+    gone by the time this runs (cleaner + link-density scoring), so these
+    are the article's own citations; order-preserving dedupe, resolved
+    against the page url."""
+    if top_node is None:
+        return []
+    out: list[str] = []
+    seen: set[str] = set()
+    for a in top_node.get_elements_by_tag("a"):
+        href = a.attrib.get("href", "").strip()
+        if href:
+            absolute = urljoin(url, href)
+            if absolute not in seen:
+                seen.add(absolute)
+                out.append(absolute)
+    return out

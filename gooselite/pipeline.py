@@ -20,13 +20,16 @@ from gooselite.config import DEFAULT_CONFIG, ExtractionConfig
 from gooselite.encoding import DecodeError, decode_html
 from gooselite.formatter import get_formatted_text
 from gooselite.metadata import (
+    extract_links,
     extract_tags,
+    get_authors,
     get_canonical_link,
     get_domain,
     get_meta_description,
     get_meta_keywords,
     get_meta_lang,
     get_movies,
+    get_opengraph,
     get_publish_date,
     get_title,
     get_top_image,
@@ -59,6 +62,7 @@ def _empty_result(url: str, status: str, err: str | None, bytes_in: int,
         "meta_description": "", "meta_keywords": "", "meta_lang": None,
         "canonical_link": "", "domain": get_domain(url), "tags": [],
         "movies": [], "publish_date": None, "top_image": None,
+        "authors": [], "opengraph": [], "links": [],
         "lang_fallback": lang_fallback,
         "status": status, "err": err, "bytes_in": bytes_in,
         "parse_ms": parse_ms,
@@ -128,6 +132,11 @@ def _extract_parsed(root, lang: str | None, url: str, bytes_in: int,
                     if config.enable_publish_date else None)
     top_image = (get_top_image(root, url, idx)
                  if config.enable_images else None)
+    authors = get_authors(root, idx)
+    # OpenGraph map serialized as sorted "key=value" strings: a plain
+    # array column keeps the Spark row deterministic (map column
+    # iteration order is not) while staying losslessly parseable
+    opengraph = sorted(f"{k}={v}" for k, v in get_opengraph(root, idx).items())
 
     # A5: primary lang (target_language or lang column), meta-lang
     # fallback, then 'en'; lang_fallback records any non-primary path
@@ -144,8 +153,12 @@ def _extract_parsed(root, lang: str | None, url: str, bytes_in: int,
     clean_document(root)
     top_node = calculate_best_node(root, effective_lang)
     cleaned_text = ""
+    links: list[str] = []
     if top_node is not None:
         top_node = post_cleanup(top_node, effective_lang)
+        # A16-ext: anchors surviving the cleaner + post-cleanup — must
+        # read BEFORE the formatter, which drop_tag()s every <a>
+        links = extract_links(top_node, url)
         cleaned_text = get_formatted_text(top_node, effective_lang)
 
     parse_ms = (time.perf_counter() - t0) * 1000.0
@@ -156,7 +169,8 @@ def _extract_parsed(root, lang: str | None, url: str, bytes_in: int,
         "meta_keywords": meta_keywords, "meta_lang": meta_lang,
         "canonical_link": canonical_link, "domain": get_domain(url),
         "tags": tags, "movies": movies, "publish_date": publish_date,
-        "top_image": top_image,
+        "top_image": top_image, "authors": authors,
+        "opengraph": opengraph, "links": links,
         "lang_fallback": lang_fallback, "status": status, "err": None,
         "bytes_in": bytes_in, "parse_ms": parse_ms,
     }

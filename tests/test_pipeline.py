@@ -328,3 +328,36 @@ def test_top_image_extraction():
     off = ExtractionConfig(enable_images=False)
     r = extract_one(og.encode(), "en", "https://x", config=off)
     assert r["top_image"] is None
+
+
+def test_authors_opengraph_links_extraction():
+    html = """<!DOCTYPE html><html><head><meta charset="utf-8">
+<title>t | s</title>
+<meta name="author" content="Ada Writer">
+<meta property="article:author" content="Ada Writer">
+<meta property="article:author" content="Co Author">
+<meta property="og:title" content="OG Title">
+<meta property="og:type" content="article">
+<meta property="og:type" content="ignored-duplicate">
+</head><body>
+<div class="article-body">
+<p>{p1} Read <a href="/cite/1">the first source</a> for more.</p>
+<p>{p2} And <a href="https://other.example/x">an external one</a> too.</p>
+<p>{p3}</p>
+</div>
+</body></html>""".format(p1=P1, p2=P2, p3=P3)
+    r = extract_one(html.encode(), "en", "https://site.example/a/9")
+    # priority + order-preserving dedupe: name=author first, then the
+    # article:author not already seen
+    assert r["authors"] == ["Ada Writer", "Co Author"]
+    # full og map as sorted key=value strings, first occurrence wins
+    assert r["opengraph"] == ["title=OG Title", "type=article"]
+    # in-article anchors only (nav/related removed pre-scoring),
+    # urljoin-resolved, order preserved
+    assert r["links"] == ["https://site.example/cite/1",
+                          "https://other.example/x"]
+
+
+def test_links_empty_when_no_article():
+    r = extract_one(None, "en", "https://x.example/1")
+    assert r["authors"] == [] and r["opengraph"] == [] and r["links"] == []

@@ -47,6 +47,11 @@ def test_spark_matches_goldens_byte_identical(extracted_and_expected):
     ti_eq = merged.top_image.fillna("∅") == merged.expected_top_image.fillna("∅")
     assert ti_eq.all(), merged.loc[~ti_eq, "url"].head().tolist()
     assert merged.top_image.notna().sum() > 0  # image pages exist
+    # A4-ext authors: byline metas extracted where planted, [] elsewhere
+    au_eq = merged.apply(
+        lambda r: list(r.authors) == list(r.expected_authors), axis=1)
+    assert au_eq.all(), merged.loc[~au_eq, "url"].head().tolist()
+    assert merged.authors.map(len).sum() > 0  # byline pages exist
     # fixtures span every shipped stopword table (≥12 languages)
     assert merged.lang_x.nunique() >= 12
 
