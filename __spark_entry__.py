@@ -56,6 +56,9 @@ def _q_udf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang_fallback",
         F.length("cleaned_text").alias("text_len"),
         F.size("movies").alias("n_movies"),
+        F.size("authors").alias("n_authors"),
+        F.size("opengraph").alias("n_og"),
+        F.size("links").alias("n_links"),
     )
 
 
