@@ -157,8 +157,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_simhash": T.q_simhash,
         "q_simhash_pairs": T.q_simhash_pairs,
         "q_lang_id": T.q_lang_id,
-        "q_url_normalize": T.q_url_normalize,
         "q_gopher_rules": T.q_gopher_rules,
+        # BPE merge-pair mining (late r4): the tokenizer-training
+        # statistic — one iteration's pair counts over the vocab
+        "q_bpe_merge": T.q_bpe_merge,
         # structured-data harvesting (late r4): JSON-LD article
         # metadata (script payload retained via keep_raw_text opt-in,
         # decoy-script dispatch, JSON round-trip) and web tables
@@ -240,6 +242,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_token_count": T.q_token_count,
         "q_domain_cap": FL.q_domain_cap,
         "q_fingerprint": T.q_fingerprint,
+        "q_url_normalize": T.q_url_normalize,
         "q_quality_score": T.q_quality_score,
         "q_ngram_jaccard": T.q_ngram_jaccard,
         # 8-byte-key decontamination (the 10^12-row shape; rows-only —
@@ -301,6 +304,7 @@ def oracle_sql() -> dict[str, str]:
         "q_ngram_jaccard": T.ORACLE_NGRAM_JACCARD,
         "q_url_normalize": T.ORACLE_URL_NORMALIZE,
         "q_gopher_rules": T.ORACLE_GOPHER_RULES,
+        "q_bpe_merge": T.ORACLE_BPE_MERGE,
         "q_jsonld_extract": ST.ORACLE_JSONLD_EXTRACT,
         "q_table_extract": ST.ORACLE_TABLE_EXTRACT,
         "q_pdf_extract": PD.ORACLE_PDF_EXTRACT,

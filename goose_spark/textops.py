@@ -1109,3 +1109,58 @@ FROM cum CROSS JOIN p
 WHERE cum >= (n * pct + 99) // 100
 GROUP BY lang, pct
 """
+
+
+# ----------------------------------------------------- BPE merge mining --
+# Tokenizer training's inner statistic: one BPE iteration = count
+# adjacent symbol pairs across the word-frequency table and take the
+# argmax as the next merge. This probe computes the first iteration at
+# character level (top-BPE_TOP_K candidate merges); a full trainer
+# loops this exact two-aggregate shape, re-injecting the merged symbol
+# each round, so the probe pins the distributed statistic a 100 TB
+# tokenizer build runs repeatedly.
+BPE_TOP_K = 20
+
+
+def q_bpe_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shapes: word-frequency hash aggregate with map-side combine (the
+    only corpus-sized shuffle carries (word, long)); character pairs
+    explode off the tiny vocabulary table; second aggregate over pairs;
+    TakeOrderedAndProject for the top-K. All codegen, exact integers."""
+    from goose_spark.filterops import _WORDS
+
+    d = load(spark, sf_dir, "documents")
+    vocab = (
+        d.select(F.explode(F.expr(_WORDS)).alias("w"))
+        .groupBy("w").agg(F.count(F.lit(1)).alias("freq")))
+    pairs = vocab.select(
+        "freq",
+        F.explode(F.expr(
+            # CASE guard, not greatest(): Spark's sequence(1, 0) yields
+            # DESCENDING [1, 0], not empty (same gotcha _BIGRAMS guards)
+            "CASE WHEN length(w) < 2 THEN array()"
+            " ELSE transform(sequence(1, length(w) - 1),"
+            " i -> substr(w, i, 2)) END")).alias("pair"))
+    return (
+        pairs.groupBy("pair").agg(F.sum("freq").alias("n_pair"))
+        .orderBy(F.desc("n_pair"), "pair").limit(BPE_TOP_K))
+
+
+ORACLE_BPE_MERGE = f"""
+WITH w AS (
+  SELECT u.w, COUNT(*) AS freq
+  FROM (SELECT string_split_regex(lower(trim(text)), '\\s+') AS ws
+        FROM documents) t,
+       unnest(t.ws) AS u(w)
+  GROUP BY u.w),
+p AS (
+  SELECT freq,
+         substr(w, i, 2) AS pair
+  FROM (SELECT w, freq,
+               unnest(generate_series(1, greatest(length(w) - 1, 0))) AS i
+        FROM w) x)
+SELECT pair, CAST(SUM(freq) AS BIGINT) AS n_pair
+FROM p GROUP BY pair
+ORDER BY n_pair DESC, pair
+LIMIT {BPE_TOP_K}
+"""
