@@ -35,15 +35,16 @@ EPOCH = datetime(2025, 1, 1, tzinfo=timezone.utc)
 
 # Bump when the template or stopword tables change: the /tmp cache key
 # includes it, so stale fixtures regenerate instead of mismatching code.
-FIXTURE_VERSION = 10  # v10: author bylines (A4-ext goldens)
+FIXTURE_VERSION = 11  # v11: hi/bn/tr/el stopword tables join the spread
 
 # Languages cycled onto a deterministic share of docs so fixtures exercise
 # every shipped stopword table (VERDICT r1 item 3), beyond the seed
 # corpus's en/fr/es/de/zh. 'nb'/'no' share one table; both codes appear.
 # ko/ar/ja/th exercise the segmentation variants (r3); zh rides the seed
-# corpus; vi/he are the space-delimited r4 additions.
+# corpus; vi/he (and late-r4 hi/bn/tr/el) are space-delimited additions.
 _SPREAD_LANGS = ("da", "fi", "hu", "id", "it", "nb", "nl", "no", "pl",
-                 "pt", "ru", "sv", "ko", "ar", "ja", "th", "vi", "he")
+                 "pt", "ru", "sv", "ko", "ar", "ja", "th", "vi", "he",
+                 "hi", "bn", "tr", "el")
 
 # first 8 purely-alphabetic stopwords per language (sorted order) — the
 # paragraph prefix guaranteeing stopword_count >= 6 in every paragraph

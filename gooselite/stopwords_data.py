@@ -17,8 +17,9 @@ StopWordsArabic) ship as of round 3 with matching tokenizer variants in
 gooselite.text, and ja / th follow with the same max-match machinery.
 vi / he (round 4) are space-delimited and need only tables: Vietnamese
 writes spaces between syllables, Hebrew function words are standalone
-tokens (clitic prefixes stay attached — documented per-table). Truly
-unknown codes (vi-nom, yi, …) still fall back to 'en' with
+tokens (clitic prefixes stay attached — documented per-table). hi / bn / tr / el
+(late round 4) are likewise space-delimited tables. Truly
+unknown codes (yi, …) still fall back to 'en' with
 lang_fallback=True.
 """
 
@@ -361,6 +362,48 @@ _HE = """
 שלהם שלי שלנו ביותר כדי דרך בגלל למרות אולי תמיד פעם היום אתמול מחר
 """
 
+# Hindi (Devanagari) is space-delimited; function words are standalone
+# tokens, so only a table is needed (the canonical resources dir ships
+# stopwords-hi.txt with the same convention).
+_HI = """
+के का एक में की है यह और से हैं को पर इस होता कि जो कर मे गया करने किया
+लिये अपने ने नहीं तो ही या हो था द्वारा हुआ तक साथ करना वाले बाद लिए
+सकते इसके अभी जैसे सभी करता उनकी तरह उस आदि इसकी उनका इसी पे तथा भी
+परंतु इन कम दो वे यदि थे वह कई करें होती अपनी उनके थी जब होते कोई हुई
+व जैसा जहाँ होने मैं हम तुम आप उसके उसकी हमारे तुम्हारे आपके यहाँ वहाँ
+कब क्यों कैसे कौन क्या कुछ बहुत थोड़ा अधिक फिर अब तब आज कल
+"""
+
+# Bengali is space-delimited with standalone function words.
+_BN = """
+এবং ও থেকে করে না এই যে তার সে হয় আর কি কিন্তু এক এর জন্য সঙ্গে হবে
+ছিল তিনি আমি তুমি আমরা তারা এটা ওই সব আগে পরে যদি তবে কেন কোন আছে
+নেই খুব আরো মধ্যে উপর কাছে দিয়ে নিয়ে গিয়ে হয়ে বলে এখন তখন আজ কাল
+এখানে সেখানে যখন যা যার যাদের কারণ মতো মত হতে হলে করা করার নিজের
+আমার তোমার তাদের আমাদের কিছু অনেক আবার শুধু প্রায় এবার ওরা সেই এত
+"""
+
+# Turkish is space-delimited; vowel-harmony variants of the common
+# clitics (mi/mı/mu/mü, de/da) are enumerated as separate entries.
+_TR = """
+ve bir bu da de için ile olarak çok daha ama en gibi kadar sonra olan
+var yok ben sen o biz siz onlar ne nasıl neden niçin hangi her şey mi
+mı mu mü bana sana ona ancak fakat veya ya hem değil ise şu iki üç
+kendi bütün bazı diğer aynı böyle şöyle öyle çünkü eğer artık henüz
+bile yine belki zaten önce şimdi bugün yarın dün burada orada nerede
+ki sadece bunu bunun onun bizim sizin beni seni bunlar şunlar hiç
+"""
+
+# Greek is space-delimited; the article/pronoun system supplies most
+# of the high-frequency tokens.
+_EL = """
+και το η ο του της των να με σε για από που δεν είναι τα οι στο στη
+στην στον ένα μια αυτό αυτή αυτός ως αλλά ή αν θα έχει είχε ήταν πολύ
+πιο όπως μετά πριν κατά χωρίς μέχρι επίσης όταν τότε τώρα εδώ εκεί
+πώς γιατί τι ποιος όλα κάθε μου σου μας σας τους δύο τρία ακόμη ίσως
+λοιπόν ούτε είτε εγώ εσύ εμείς εσείς αυτοί ήδη μόνο πάλι σχεδόν αρκετά
+"""
+
 STOPWORDS: dict[str, frozenset[str]] = {
     lang: frozenset(words.split())
     for lang, words in (
@@ -370,6 +413,7 @@ STOPWORDS: dict[str, frozenset[str]] = {
         ("nb", _NO), ("no", _NO), ("pl", _PL), ("ru", _RU),
         ("zh", _ZH), ("ko", _KO), ("ar", _AR),
         ("ja", _JA), ("th", _TH), ("vi", _VI), ("he", _HE),
+        ("hi", _HI), ("bn", _BN), ("tr", _TR), ("el", _EL),
     )
 }
 

@@ -361,3 +361,37 @@ def test_authors_opengraph_links_extraction():
 def test_links_empty_when_no_article():
     r = extract_one(None, "en", "https://x.example/1")
     assert r["authors"] == [] and r["opengraph"] == [] and r["links"] == []
+
+
+def test_hi_extraction_end_to_end():
+    """A8 late-r4: Hindi (Devanagari) is space-delimited — only a table
+    was needed; lang_fallback=False."""
+    paras = [
+        "यह एक लंबी कहानी है जो हर दिन नई होती है और सभी लोग इस को "
+        "पढ़ने के लिए यहाँ आते हैं क्योंकि इस में बहुत कुछ है।",
+        "उस शहर में कई लोग थे जो अपने काम से बहुत प्यार करते थे और "
+        "वे हर दिन कुछ नया करने की कोशिश करते थे।",
+        "अब समय आ गया है कि हम सब मिल कर इस काम को पूरा करें और "
+        "अपने सपनों की ओर एक कदम और बढ़ें।",
+    ]
+    html = ('<html lang="hi"><head><title>कहानी</title></head><body>'
+            '<div class="article">'
+            + "".join(f"<p>{p}</p>" for p in paras)
+            + "</div></body></html>")
+    r = extract_one(html.encode("utf-8"), "hi", "https://x.example/hi")
+    assert r["status"] == "ok"
+    assert r["lang"] == "hi" and r["lang_fallback"] is False
+    assert r["cleaned_text"] == "\n\n".join(paras)
+
+
+def test_tr_el_bn_tables_resolve():
+    """Space-delimited late-r4 tables: lang column resolves directly
+    (no fallback) and stopword counting sees the function words."""
+    from gooselite.stopwords_data import STOPWORDS
+    from gooselite.text import stopword_count_fast
+
+    assert stopword_count_fast("bu bir kitap ve ben onu çok sevdim", "tr") >= 4
+    assert stopword_count_fast("και αυτό είναι ένα βιβλίο για μας", "el") >= 4
+    assert stopword_count_fast("এবং এই বই থেকে আমরা কিছু শিখি", "bn") >= 3
+    for lang in ("hi", "bn", "tr", "el"):
+        assert lang in STOPWORDS and len(STOPWORDS[lang]) >= 60
