@@ -20,10 +20,11 @@ class ExtractionConfig:
     target_language: forces the stopword table for every document,
         overriding the per-row lang column (the reference's EP3 semantics,
         SURVEY.md §3.1); None → lang column primary, meta-lang fallback.
-    enable_publish_date / enable_videos / enable_tags / enable_images:
+    enable_publish_date / enable_videos / enable_tags / enable_images /
+    enable_authors / enable_opengraph / enable_links:
         feature toggles for
-        the optional Article fields (A19 / A18 / A16); disabled fields
-        come back None/empty, the pipeline itself is unchanged.
+        the optional Article fields (A19 / A18 / A16 / A4-ext); disabled
+        fields come back None/empty, the pipeline itself is unchanged.
     doc_timeout_s: per-document wall budget enforced by the Spark UDF
         watchdog (not by extract_one itself); None → GOOSE_DOC_TIMEOUT_S
         env default in goose_spark.udf.
@@ -34,6 +35,9 @@ class ExtractionConfig:
     enable_videos: bool = True
     enable_tags: bool = True
     enable_images: bool = True
+    enable_authors: bool = True
+    enable_opengraph: bool = True
+    enable_links: bool = True
     doc_timeout_s: float | None = None
 
 

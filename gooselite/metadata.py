@@ -103,12 +103,23 @@ def get_meta_lang(root: Node, idx: dict | None = None) -> str | None:
     return None
 
 
+def _safe_urljoin(base: str, href: str) -> str:
+    """Total urljoin: urllib raises ValueError on pathological hrefs
+    (e.g. 'http://[bad' -> Invalid IPv6 URL); extract_one must be total
+    over arbitrary web bytes, so resolution failures keep the raw href
+    (same spirit as get_domain's guarded urlparse)."""
+    try:
+        return urljoin(base, href)
+    except ValueError:
+        return href
+
+
 def get_canonical_link(root: Node, url: str, idx: dict | None = None) -> str:
     for link in _nodes(root, idx, "link"):
         if link.attrib.get("rel", "").lower() == "canonical":
             href = link.attrib.get("href", "").strip()
             if href:
-                return urljoin(url, href)
+                return _safe_urljoin(url, href)
     return url
 
 
@@ -205,12 +216,12 @@ def get_top_image(root: Node, url: str, idx: dict | None = None) -> str | None:
             if meta.attrib.get(attr, "").lower() == target:
                 content = inner_trim(meta.attrib.get("content", ""))
                 if content:
-                    return urljoin(url, content)
+                    return _safe_urljoin(url, content)
     for link in _nodes(root, idx, "link"):
         if link.attrib.get("rel", "").lower() == "image_src":
             href = link.attrib.get("href", "").strip()
             if href:
-                return urljoin(url, href)
+                return _safe_urljoin(url, href)
     return None
 
 
@@ -285,7 +296,7 @@ def extract_links(top_node: Node | None, url: str) -> list[str]:
     for a in top_node.get_elements_by_tag("a"):
         href = a.attrib.get("href", "").strip()
         if href:
-            absolute = urljoin(url, href)
+            absolute = _safe_urljoin(url, href)
             if absolute not in seen:
                 seen.add(absolute)
                 out.append(absolute)

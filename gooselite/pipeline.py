@@ -132,11 +132,13 @@ def _extract_parsed(root, lang: str | None, url: str, bytes_in: int,
                     if config.enable_publish_date else None)
     top_image = (get_top_image(root, url, idx)
                  if config.enable_images else None)
-    authors = get_authors(root, idx)
+    authors = get_authors(root, idx) if config.enable_authors else []
     # OpenGraph map serialized as sorted "key=value" strings: a plain
     # array column keeps the Spark row deterministic (map column
     # iteration order is not) while staying losslessly parseable
-    opengraph = sorted(f"{k}={v}" for k, v in get_opengraph(root, idx).items())
+    opengraph = (sorted(f"{k}={v}"
+                        for k, v in get_opengraph(root, idx).items())
+                 if config.enable_opengraph else [])
 
     # A5: primary lang (target_language or lang column), meta-lang
     # fallback, then 'en'; lang_fallback records any non-primary path
@@ -157,8 +159,12 @@ def _extract_parsed(root, lang: str | None, url: str, bytes_in: int,
     if top_node is not None:
         top_node = post_cleanup(top_node, effective_lang)
         # A16-ext: anchors surviving the cleaner + post-cleanup — must
-        # read BEFORE the formatter, which drop_tag()s every <a>
-        links = extract_links(top_node, url)
+        # read BEFORE the formatter, which drop_tag()s every <a>; this
+        # is the cleaned-top-node snapshot (goose-family Article.links
+        # semantics), so an anchor in a paragraph the FORMATTER later
+        # drops (<3 stopwords / negative score) still appears here
+        if config.enable_links:
+            links = extract_links(top_node, url)
         cleaned_text = get_formatted_text(top_node, effective_lang)
 
     parse_ms = (time.perf_counter() - t0) * 1000.0

@@ -18,7 +18,12 @@ from gooselite.stopwords_data import DEFAULT_LANGUAGE, STOPWORDS
 _WHITESPACE_RE = re.compile(r"\s+")
 
 # string.punctuation removal table [canon: goose/text.py remove_punctuation]
-_PUNCT_TABLE = str.maketrans("", "", string.punctuation)
+# plus the sentence-final marks of the non-Latin tabled scripts: the
+# Devanagari/Bengali danda and double danda (।॥ end most hi/bn
+# sentences — without stripping them the sentence-final copula never
+# matches its stopword entry) and the Greek ano teleia / erotimatiko.
+_PUNCT_TABLE = str.maketrans(
+    "", "", string.punctuation + "।॥··;")
 
 
 def inner_trim(value: str) -> str:

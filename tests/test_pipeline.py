@@ -395,3 +395,43 @@ def test_tr_el_bn_tables_resolve():
     assert stopword_count_fast("এবং এই বই থেকে আমরা কিছু শিখি", "bn") >= 3
     for lang in ("hi", "bn", "tr", "el"):
         assert lang in STOPWORDS and len(STOPWORDS[lang]) >= 60
+
+
+def test_malformed_href_totality():
+    """extract_one must be total: pathological hrefs (urljoin raises
+    ValueError on 'http://[bad') must not escape the UDF loop — the raw
+    href is kept instead (same spirit as get_domain's guarded parse)."""
+    body = ("<div class='a'><p>" + P1 + " <a href=\"http://[bad\">x</a> "
+            + P2 + "</p></div>")
+    r = extract_one(f"<html><body>{body}</body></html>".encode(),
+                    "en", "https://x.example/1")
+    assert r["status"] == "ok"
+    assert "http://[bad" in r["links"]
+    canon = ('<html><head><link rel="canonical" href="http://[bad">'
+             "</head><body><p>text</p></body></html>")
+    assert extract_one(canon.encode(), "en",
+                       "https://x.example/1")["canonical_link"] == "http://[bad"
+
+
+def test_new_fields_config_gated():
+    from gooselite.config import ExtractionConfig
+
+    html = """<html><head><meta name="author" content="A">
+<meta property="og:type" content="article"></head><body>
+<div class="article-body"><p>{p} <a href="/c">cite link</a></p></div>
+</body></html>""".format(p=P1)
+    off = ExtractionConfig(enable_authors=False, enable_opengraph=False,
+                           enable_links=False)
+    r = extract_one(html.encode(), "en", "https://x.example/1", off)
+    assert r["authors"] == [] and r["opengraph"] == [] and r["links"] == []
+    r2 = extract_one(html.encode(), "en", "https://x.example/1")
+    assert r2["authors"] == ["A"] and r2["opengraph"] == ["type=article"]
+
+
+def test_danda_final_stopwords_counted():
+    """Devanagari danda / Greek ano teleia are stripped like ASCII
+    punctuation, so sentence-final function words match their tables."""
+    from gooselite.text import stopword_count_fast
+
+    assert stopword_count_fast("वह घर में है।", "hi") == 3
+    assert stopword_count_fast("αυτό είναι εδώ· και", "el") == 4
