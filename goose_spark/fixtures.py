@@ -35,7 +35,7 @@ EPOCH = datetime(2025, 1, 1, tzinfo=timezone.utc)
 
 # Bump when the template or stopword tables change: the /tmp cache key
 # includes it, so stale fixtures regenerate instead of mismatching code.
-FIXTURE_VERSION = 11  # v11: hi/bn/tr/el stopword tables join the spread
+FIXTURE_VERSION = 12  # v12: tr dotted-i / el tonos-stripped table variants
 
 # Languages cycled onto a deterministic share of docs so fixtures exercise
 # every shipped stopword table (VERDICT r1 item 3), beyond the seed
@@ -209,10 +209,11 @@ def generate(documents_parquet: str, out_dir: str, copies: int = 1) -> tuple[str
         doc_id = int(d.doc_id)
         doc_lang = d.lang
         # spread a third of docs across every shipped stopword table so
-        # all 16 language codes appear in fixtures (seed corpus has 5)
+        # every code in _SPREAD_LANGS (22 by late r4; 27 tabled incl.
+        # the seed corpus's 5) appears in fixtures
         if doc_id % 3 == 2:
-            # index by doc_id//3 (coprime stride) — doc_id % 12 would alias
-            # with the %3 gate and only ever pick 4 of the 12 languages
+            # index by doc_id//3 (coprime stride) — doc_id % N would
+            # alias with the %3 gate and skip 2/3 of _SPREAD_LANGS
             doc_lang = _SPREAD_LANGS[(doc_id // 3) % len(_SPREAD_LANGS)]
         built = _build_doc(doc_id, d.text or "", doc_lang)
 

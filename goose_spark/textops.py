@@ -852,11 +852,13 @@ def oracle_lang_id() -> str:
     and the ≥ 0.05 density threshold as the EXACT integer test
     20·count ≥ n_words (no float division crosses the engine boundary).
     """
-    import string
-
     from gooselite.stopwords_data import STOPWORDS
+    from gooselite.text import PUNCT_CHARS
 
-    punct = string.punctuation.replace("'", "''")
+    # the SAME normalization char set the pandas kernel strips via
+    # remove_punctuation (incl. danda / ano teleia — late r4); a bare
+    # string.punctuation here would diverge on hi/bn/el text
+    punct = PUNCT_CHARS.replace("'", "''")
     rows = []
     for prio, (lang, table) in enumerate(STOPWORDS.items()):
         words = ", ".join("'" + w.replace("'", "''") + "'"

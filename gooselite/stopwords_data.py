@@ -404,8 +404,42 @@ _EL = """
 λοιπόν ούτε είτε εγώ εσύ εμείς εσείς αυτοί ήδη μόνο πάλι σχεδόν αρκετά
 """
 
+def _tr_dotted_i_variants(words: frozenset[str]) -> frozenset[str]:
+    """Python's full casemapping lowers the Turkish dotted capital I
+    (U+0130, as in sentence-initial 'İçin') to 'i' + U+0307 COMBINING
+    DOT ABOVE — which never equals the plain-'i' table entry. Add every
+    dotted-i variant so capitalized/ALL-CAPS forms match after lower()."""
+    out = set(words)
+    for w in words:
+        idxs = [i for i, c in enumerate(w) if c == "i"]
+        for mask in range(1, 1 << len(idxs)):
+            v = list(w)
+            for b, pos in enumerate(idxs):
+                if mask >> b & 1:
+                    v[pos] = "i\u0307"
+            out.add("".join(v))
+    return frozenset(out)
+
+
+def _el_tonos_stripped_variants(words: frozenset[str]) -> frozenset[str]:
+    """All-caps Greek is conventionally written WITHOUT tonos accents
+    ('ΑΥΤΟ' lowers to 'αυτο', not the table's 'αυτό'); add the
+    accent-stripped variant of every entry."""
+    import unicodedata
+
+    out = set(words)
+    for w in words:
+        stripped = "".join(
+            c for c in unicodedata.normalize("NFD", w)
+            if not unicodedata.combining(c))
+        out.add(unicodedata.normalize("NFC", stripped))
+    return frozenset(out)
+
+
 STOPWORDS: dict[str, frozenset[str]] = {
-    lang: frozenset(words.split())
+    lang: (_tr_dotted_i_variants(frozenset(words.split())) if lang == "tr"
+           else _el_tonos_stripped_variants(frozenset(words.split()))
+           if lang == "el" else frozenset(words.split()))
     for lang, words in (
         ("en", _EN), ("de", _DE), ("es", _ES), ("fr", _FR),
         ("it", _IT), ("pt", _PT), ("nl", _NL), ("sv", _SV),

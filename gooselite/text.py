@@ -22,8 +22,10 @@ _WHITESPACE_RE = re.compile(r"\s+")
 # Devanagari/Bengali danda and double danda (।॥ end most hi/bn
 # sentences — without stripping them the sentence-final copula never
 # matches its stopword entry) and the Greek ano teleia / erotimatiko.
-_PUNCT_TABLE = str.maketrans(
-    "", "", string.punctuation + "।॥··;")
+# PUNCT_CHARS is the single source of truth: the q_lang_id DuckDB
+# oracle embeds the SAME characters so both engines normalize alike.
+PUNCT_CHARS = string.punctuation + "।॥··;"
+_PUNCT_TABLE = str.maketrans("", "", PUNCT_CHARS)
 
 
 def inner_trim(value: str) -> str:
