@@ -52,13 +52,20 @@ def test_simhash_near_dups_close(spark, planted):
 
 def test_lang_id_on_stopword_rich_text(spark, tmp_path_factory):
     pdf = pd.DataFrame({
-        "doc_id": [1, 2, 3],
+        "doc_id": [1, 2, 3, 4, 5, 6, 7],
         "text": [
             "the cat is on the mat and it is happy with the food it has",
             "der hund ist nicht auf dem tisch und er hat auch keine zeit",
             "xyzzy qwerty plugh foobar",
+            # late-r4 tables, incl. danda-suffixed hi copulas and a
+            # sentence-initial Turkish dotted capital
+            "यह घर में है। वह भी यहाँ है। हम सब साथ हैं।",
+            "İçin bunu yaptı ve o da geldi ama ben de orada var idim",
+            "αυτό είναι εδώ και αυτή είναι με τους άλλους για μας",
+            "এবং এই বই থেকে আমরা কিছু শিখি তার জন্য সে আসে",
         ],
-        "lang": ["en", "de", "xx"], "source": ["t"] * 3, "n_chars": [1, 1, 1],
+        "lang": ["en", "de", "xx", "hi", "tr", "el", "bn"],
+        "source": ["t"] * 7, "n_chars": [1] * 7,
     })
     out = str(tmp_path_factory.mktemp("langid"))
     spark.createDataFrame(pdf).write.mode("overwrite").parquet(out + "/documents.parquet")
@@ -66,6 +73,10 @@ def test_lang_id_on_stopword_rich_text(spark, tmp_path_factory):
     assert got[1] == "en"
     assert got[2] == "de"
     assert got[3] == "unknown"
+    assert got[4] == "hi"
+    assert got[5] == "tr"
+    assert got[6] == "el"
+    assert got[7] == "bn"
 
 
 def test_dedup_exact_counts(spark, planted):
