@@ -148,10 +148,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quality_classifier": FL.q_quality_classifier,
         "q_domain_cap_kept": FL.q_domain_cap_kept,
         "q_decontaminate": FL.q_decontaminate,
-        "q_chunk_windows": T.q_chunk_windows,
-        "q_pack_sequences": T.q_pack_sequences,
         # training-data ops: dedup / text analysis
-        "q_dedup_exact": T.q_dedup_exact,
+        # span-level exact dedup (new r4-late): maximal duplicated
+        # K-token intervals per doc (the ExactSubstr policy)
+        "q_substring_dedup": T.q_substring_dedup,
+        # bloom seen-set pre-filter for checkpoint resume (new r4-late):
+        # graded INCLUDING its false positives (deterministic j-hash)
+        "q_bloom_dedup": T.q_bloom_dedup,
+        # anchor-text harvest per target url (new r4-late): rides the
+        # q_link_extract parse pass, capped distinct-anchor aggregate
+        "q_anchor_text": CO.q_anchor_text,
         "q_token_bpeish": T.q_token_bpeish,
         "q_minhash_pairs": T.q_minhash_pairs,
         "q_simhash": T.q_simhash,
@@ -215,6 +221,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # room for the corpus-maintenance probes (each green since its
         # debut round; join-strategy/pushdown plan tests still enforce
         # their physical shapes every pytest run).
+        # rotated late r4 for the substring/bloom/anchor probes: each
+        # oracle-green in r3 AND re-proven cross-engine by the L3
+        # conformance test (tests/test_relational_probes.py) every run
+        "q_dedup_exact": T.q_dedup_exact,
+        "q_chunk_windows": T.q_chunk_windows,
+        "q_pack_sequences": T.q_pack_sequences,
         "q_anti_join": Q.q_anti_join,
         "q_broadcast_join": Q.q_broadcast_join,
         "q_semi_join": Q.q_semi_join,
@@ -316,6 +328,9 @@ def oracle_sql() -> dict[str, str]:
         "q_lang_id": T.oracle_lang_id(),
         "q_chunk_windows": T.ORACLE_CHUNK_WINDOWS,
         "q_pack_sequences": T.ORACLE_PACK_SEQUENCES,
+        "q_substring_dedup": T.ORACLE_SUBSTRING_DEDUP,
+        "q_bloom_dedup": T.ORACLE_BLOOM_DEDUP,
+        "q_anchor_text": CO.ORACLE_ANCHOR_TEXT,
         "q_pii_redact": FL.ORACLE_PII_REDACT,
         "q_repetition_filter": FL.ORACLE_REPETITION_FILTER,
         "q_domain_cap": FL.ORACLE_DOMAIN_CAP,

@@ -293,7 +293,7 @@ def _link_pages(batches):
     from gooselite.minidom import parse_html
 
     for pdf in batches:
-        out = {"doc_id": [], "pos": [], "dst_url": []}
+        out = {"doc_id": [], "pos": [], "dst_url": [], "anchor": []}
         for doc_id, source, n in zip(
                 pdf["doc_id"], pdf["source"], pdf["n"]):
             doc_id, n = int(doc_id), int(n)
@@ -317,10 +317,12 @@ def _link_pages(batches):
                     out["doc_id"].append(doc_id)
                     out["pos"].append(pos)
                     out["dst_url"].append(urljoin(page_url, href))
+                    out["anchor"].append(a.get_text().strip())
         yield pd.DataFrame({
             "doc_id": pd.Series(out["doc_id"], dtype="int64"),
             "pos": pd.Series(out["pos"], dtype="int32"),
             "dst_url": pd.Series(out["dst_url"], dtype="object"),
+            "anchor": pd.Series(out["anchor"], dtype="object"),
         })
 
 
@@ -330,11 +332,17 @@ def q_link_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     At crawl scale this runs fused with the extraction UDF over the
     same WARC batches — the edge list, not the HTML, is what shuffles
     into the q_pagerank rounds."""
+    return _link_edges(spark, sf_dir).select("doc_id", "pos", "dst_url")
+
+
+def _link_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared parse pass: (doc_id, pos, dst_url, anchor) edge rows."""
     d = load(spark, sf_dir, "documents")
     n_df = d.groupBy().agg(F.count(F.lit(1)).alias("n"))
     src = d.select("doc_id", "source").crossJoin(F.broadcast(n_df))
     return src.mapInPandas(
-        _link_pages, schema="doc_id long, pos int, dst_url string")
+        _link_pages,
+        schema="doc_id long, pos int, dst_url string, anchor string")
 
 
 def _oracle_link_extract() -> str:
@@ -359,3 +367,65 @@ FROM e
 
 
 ORACLE_LINK_EXTRACT = _oracle_link_extract()
+
+
+# ------------------------------------------------- anchor-text harvest --
+# The classic web-corpus side-channel: the text OTHER pages use to link
+# to a URL (anchor text) is a high-quality description of the target —
+# search engines and LLM-corpus builders aggregate it per target. This
+# rides the same parse pass as q_link_extract: per dst_url, the inlink
+# count and the distinct anchor strings (sorted, '|'-joined so the row
+# is hash-comparable).
+#
+# Scale shape: the parse emits (dst_url, short anchor) pairs — the only
+# shuffle is ONE dst_url-keyed hash aggregate with map-side combine
+# (collect_set partials merge map-side). A mega-inlink URL (a homepage
+# with 10^9 inlinks) bounds the state at the distinct-anchor set, not
+# the inlink count; at CC scale the distinct set is additionally capped
+# (slice after sort) — the cap is applied here too so the operator IS
+# the deploy shape.
+ANCHOR_SET_CAP = 8
+
+
+def q_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _link_edges(spark, sf_dir)
+    return e.groupBy("dst_url").agg(
+        F.count(F.lit(1)).alias("n_inlinks"),
+        F.countDistinct("doc_id").alias("n_src_docs"),
+        F.array_join(
+            F.slice(F.array_sort(F.collect_set("anchor")),
+                    1, ANCHOR_SET_CAP), "|").alias("anchors"),
+    )
+
+
+def _oracle_anchor_text() -> str:
+    from goose_spark.components import PR_ADD, PR_MULT
+
+    return f"""
+WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+d AS (SELECT doc_id, source, n FROM documents, nn),
+e AS (SELECT doc_id, source, n,
+             unnest(generate_series(0, CAST(doc_id % 3 AS INT))) AS pos
+      FROM d),
+edges AS (
+  SELECT doc_id,
+         'https://' || source || '.example/d/' ||
+         CAST((doc_id * (CASE WHEN pos = 0 THEN {PR_MULT[0]}
+                              WHEN pos = 1 THEN {PR_MULT[1]}
+                              ELSE {PR_MULT[2]} END)
+               + (CASE WHEN pos = 0 THEN {PR_ADD[0]}
+                       WHEN pos = 1 THEN {PR_ADD[1]}
+                       ELSE {PR_ADD[2]} END)) % n AS VARCHAR) AS dst_url,
+         'link ' || CAST(pos AS VARCHAR) AS anchor
+  FROM e)
+SELECT dst_url,
+       COUNT(*) AS n_inlinks,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_src_docs,
+       array_to_string(
+         list_slice(list_sort(list_distinct(list(anchor))),
+                    1, {ANCHOR_SET_CAP}), '|') AS anchors
+FROM edges GROUP BY dst_url
+"""
+
+
+ORACLE_ANCHOR_TEXT = _oracle_anchor_text()

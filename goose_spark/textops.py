@@ -1166,3 +1166,181 @@ FROM p GROUP BY pair
 ORDER BY n_pair DESC, pair
 LIMIT {BPE_TOP_K}
 """
+
+
+# -------------------------------------------------- exact substring dedup --
+# Span-level exact dedup (the "ExactSubstr" policy from the dedup
+# literature, re-expressed relationally): any K-token window whose text
+# occurs more than once corpus-wide is a duplicated span; per document,
+# overlapping/adjacent duplicated windows merge into maximal intervals.
+# Paragraph dedup (corpusops) removes whole repeated blocks; this finds
+# repeated RUNS anywhere inside prose — licence boilerplate, quoted
+# syndicated sentences — without needing block structure.
+#
+# Scale shape at 10^12 docs: the suffix-array construction the
+# single-node literature uses does not distribute; the relational
+# equivalent is (1) window-hash explode (map-side, no shuffle of text —
+# each emitted row is (doc_id, off, 16-byte md5)), (2) ONE hash
+# aggregate on the md5 key with map-side combine, (3) the >1 keys join
+# back on the SAME key (AQE skew-splits a hot boilerplate key), (4) the
+# interval merge is a doc_id-keyed window over (doc_id, off) int pairs —
+# zero-exchange under the bucketed-by-url layout (goose_spark/job.py).
+DUP_SPAN_K = 16  # span window length in tokens (sf corpus: ~835 dup keys)
+
+
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal duplicated token spans per document: one row per merged
+    interval with 1-based token offsets. All JVM expressions; the only
+    corpus-sized shuffle carries (md5, count) pairs."""
+    K = DUP_SPAN_K
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks"))
+    d = d.withColumn("n", F.size("toks"))
+    g = d.select(
+        "doc_id", "toks",
+        F.explode(F.expr(
+            # CASE guard: sequence(1, 0) yields DESCENDING [1, 0]
+            f"CASE WHEN n < {K} THEN array()"
+            f" ELSE sequence(1, n - {K} + 1) END")).alias("off"))
+    g = g.select(
+        "doc_id", F.col("off").cast("long").alias("off"),
+        F.md5(F.array_join(F.expr(f"slice(toks, off, {K})"), " ")
+              .cast("binary")).alias("gh"))
+    dup_keys = (
+        g.groupBy("gh").agg(F.count(F.lit(1)).alias("n_occ"))
+        .filter(F.col("n_occ") > 1))
+    hits = g.join(dup_keys, "gh").select("doc_id", "off", "n_occ")
+    w_prev = (Window.partitionBy("doc_id").orderBy("off")
+              .rowsBetween(Window.unboundedPreceding, -1))
+    w_run = (Window.partitionBy("doc_id").orderBy("off")
+             .rowsBetween(Window.unboundedPreceding, 0))
+    hits = hits.withColumn(
+        "prev_end", F.max(F.col("off") + (K - 1)).over(w_prev))
+    # merge overlapping OR adjacent windows (start <= covered end + 1)
+    hits = hits.withColumn(
+        "new_span",
+        F.when(F.col("prev_end").isNull()
+               | (F.col("off") > F.col("prev_end") + 1), 1).otherwise(0))
+    hits = hits.withColumn(
+        "span_id", F.sum("new_span").over(w_run).cast("long"))
+    return hits.groupBy("doc_id", "span_id").agg(
+        F.min("off").alias("start_tok"),
+        (F.max("off") + (K - 1)).cast("long").alias("end_tok"),
+        (F.max("off") - F.min("off") + K).cast("long").alias("span_tokens"),
+        F.max("n_occ").cast("long").alias("max_occ"),
+    )
+
+
+ORACLE_SUBSTRING_DEDUP = f"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks,
+         len(string_split_regex(trim(text), '\\s+')) AS n
+  FROM documents),
+g0 AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(1, n - {DUP_SPAN_K} + 1)) AS off
+  FROM t WHERE n >= {DUP_SPAN_K}),
+g AS (
+  SELECT doc_id, CAST(off AS BIGINT) AS off,
+         md5(array_to_string(
+             list_slice(toks, off, off + {DUP_SPAN_K} - 1), ' ')) AS gh
+  FROM g0),
+dup AS (SELECT gh, COUNT(*) AS n_occ FROM g GROUP BY gh HAVING COUNT(*) > 1),
+hits AS (
+  SELECT g.doc_id, g.off, dup.n_occ,
+         MAX(g.off + {DUP_SPAN_K} - 1) OVER (
+           PARTITION BY g.doc_id ORDER BY g.off
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+  FROM g JOIN dup USING (gh)),
+flagged AS (
+  SELECT doc_id, off, n_occ,
+         CASE WHEN prev_end IS NULL OR off > prev_end + 1
+              THEN 1 ELSE 0 END AS new_span
+  FROM hits),
+spans AS (
+  SELECT doc_id, off, n_occ,
+         CAST(SUM(new_span) OVER (
+           PARTITION BY doc_id ORDER BY off
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS span_id
+  FROM flagged)
+SELECT doc_id, span_id,
+       MIN(off) AS start_tok,
+       CAST(MAX(off) + {DUP_SPAN_K} - 1 AS BIGINT) AS end_tok,
+       CAST(MAX(off) - MIN(off) + {DUP_SPAN_K} AS BIGINT) AS span_tokens,
+       CAST(MAX(n_occ) AS BIGINT) AS max_occ
+FROM spans GROUP BY doc_id, span_id
+"""
+
+
+# ---------------------------------------------------- bloom seen-set gate --
+# The approximate pre-filter in front of checkpoint resume: a Bloom
+# filter over the completed-url set answers "definitely new" cheaply so
+# the exact anti-join (goose_spark/job.py resume path) only runs on the
+# maybe-seen slice. Deterministic j-hash positions via md5int60, so both
+# engines compute the identical filter — false positives INCLUDED (the
+# probe output classifies them, making the approximation itself graded).
+#
+# Scale shape: building the filter is a per-partition bitmap OR-aggregate
+# (the position set below is its exact relational equivalent — at most
+# BLOOM_M distinct positions, i.e. the filter's own size, so it
+# BROADCASTS to executors exactly like the deployed bitmap would); the
+# probe side is a broadcast join + one doc-keyed count — the corpus
+# never shuffles. BLOOM_M is deliberately small so the false-positive
+# arm is exercised at grading scale (fill ~38%, fp ~ 5%); deploy sizes
+# m for the target fp rate the same way.
+BLOOM_M = 1024   # bits
+BLOOM_J = 3      # hash functions
+
+_URL_SYNTH = "concat('https://', source, '.example/d/', CAST(doc_id AS {S}))"
+
+
+def _bloom_positions(df: DataFrame) -> DataFrame:
+    """(doc_id, p): the BLOOM_J deterministic bit positions of each url."""
+    pos_exprs = ", ".join(
+        _MD5INT60_SPARK.format(x=f"concat(url, '#', {j})") + f" % {BLOOM_M}"
+        for j in range(BLOOM_J))
+    return df.select(
+        "doc_id", F.explode(F.expr(f"array({pos_exprs})")).alias("p"))
+
+
+def q_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_URL_SYNTH.format(S="STRING")).alias("url"))
+    seen = d.filter(F.col("doc_id") % 3 == 0)
+    bits = _bloom_positions(seen).select("p").distinct()
+    probed = (
+        _bloom_positions(d)
+        .join(F.broadcast(bits.withColumn("hit", F.lit(1))), "p", "left")
+        .groupBy("doc_id")
+        .agg((F.sum(F.coalesce(F.col("hit"), F.lit(0))) == BLOOM_J)
+             .alias("bloom_hit")))
+    return probed.select(
+        "doc_id", "bloom_hit",
+        (F.col("doc_id") % 3 == 0).alias("truly_seen"),
+        (F.col("bloom_hit") & ~(F.col("doc_id") % 3 == 0))
+        .alias("false_pos"))
+
+
+def _oracle_bloom_cte() -> str:
+    terms = ", ".join(
+        f"CAST(concat('0x', substr(md5(url || '#' || '{j}'), 1, 15))"
+        f" AS BIGINT) % {BLOOM_M}" for j in range(BLOOM_J))
+    return f"""
+WITH d AS (
+  SELECT doc_id, {_URL_SYNTH.format(S='VARCHAR')} AS url FROM documents),
+pos AS (
+  SELECT doc_id, unnest([{terms}]) AS p FROM d),
+bits AS (
+  SELECT DISTINCT p FROM pos WHERE doc_id % 3 = 0)
+"""
+
+
+ORACLE_BLOOM_DEDUP = _oracle_bloom_cte() + f"""
+SELECT pos.doc_id,
+       COUNT(bits.p) = {BLOOM_J} AS bloom_hit,
+       pos.doc_id % 3 = 0 AS truly_seen,
+       COUNT(bits.p) = {BLOOM_J} AND pos.doc_id % 3 <> 0 AS false_pos
+FROM pos LEFT JOIN bits USING (p)
+GROUP BY pos.doc_id
+"""

@@ -236,3 +236,21 @@ def test_link_extract_single_python_pass(spark):
     # COUNT(*) aggregate that broadcasts N — page rows never shuffle
     assert sum(1 for ln in tree.splitlines()
                if "Exchange" in ln and "BroadcastExchange" not in ln) == 1
+
+
+def test_anchor_text_aggregates_parsed_anchors(spark):
+    """Anchor strings come from the DOM parse (a.get_text()), the
+    inlink count ties out with q_link_extract's edge list, and the
+    distinct-anchor set respects ANCHOR_SET_CAP."""
+    from goose_spark.corpusops import (
+        ANCHOR_SET_CAP, q_anchor_text, q_link_extract)
+
+    SF = "/root/testdata/sf0.001"
+    agg = q_anchor_text(spark, SF).collect()
+    n_edges = q_link_extract(spark, SF).count()
+    assert sum(r.n_inlinks for r in agg) == n_edges
+    for r in agg:
+        parts = r.anchors.split("|")
+        assert 1 <= len(parts) <= ANCHOR_SET_CAP
+        assert all(p.startswith("link ") for p in parts)
+        assert parts == sorted(parts)

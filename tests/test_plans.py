@@ -300,3 +300,24 @@ def test_length_quantiles_window_reads_histogram(spark):
     # formatted tree lists leaves last: the histogram aggregate appears
     # BELOW (after) the window that consumes it
     assert max(agg_idx) > min(win_idx)
+
+
+def test_substring_dedup_plan_shape(spark):
+    from goose_spark import textops as T
+
+    plan = _plan(T.q_substring_dedup(spark, SF))
+    tree = plan.split("\n\n")[0]
+    assert "EvalPython" not in plan          # window hashing is all JVM
+    # ONE corpus-sized hash aggregate on the md5 key, partial+final
+    assert tree.count("HashAggregate") >= 2  # map-side combine present
+    # the dup-key join must be a shuffle join on gh (AQE can skew-split
+    # a hot boilerplate key), never a nested-loop
+    assert "SortMergeJoin" in tree or "ShuffledHashJoin" in tree \
+        or "BroadcastHashJoin" in tree
+    assert "CartesianProduct" not in tree
+    # interval merge is a doc-keyed window over int pairs
+    assert "Window" in tree
+    # only the two needed columns reach the scan
+    read_schema = plan.split("ReadSchema")[1][:300]
+    assert "doc_id" in read_schema and "text" in read_schema
+    assert "n_chars" not in read_schema

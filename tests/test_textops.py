@@ -403,3 +403,47 @@ def test_minhash_est_tracks_exact_on_planted(spark, planted):
     near = rows.get((1, 3)) or rows.get((2, 3))
     assert near is not None
     assert abs(near.jaccard_est - near.jaccard_exact) <= 0.25  # ~3.5 SE
+
+
+def test_substring_dedup_planted_and_merge(spark):
+    """A planted corpus: two docs share a long 24-token run (spans must
+    merge into ONE maximal interval per doc), one doc is unique (no
+    rows), one doc is too short for any window (no rows)."""
+    import tempfile
+
+    from goose_spark.textops import DUP_SPAN_K, q_substring_dedup
+
+    shared = " ".join(f"s{i}" for i in range(DUP_SPAN_K + 8))
+    rows = [
+        (1, "alpha " + shared + " omega"),
+        (2, "prefix one two " + shared),
+        (3, " ".join(f"u{i}" for i in range(40))),
+        (4, "too short"),
+    ]
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(rows, "doc_id long, text string") \
+            .write.parquet(td + "/documents.parquet")
+        out = q_substring_dedup(spark, td)
+        got = {r.doc_id: r for r in out.collect()}
+    # exactly the two sharing docs, one merged span each
+    assert set(got) == {1, 2}
+    # doc 1: shared run is tokens 2..25 (1-based, after "alpha")
+    assert (got[1].start_tok, got[1].end_tok) == (2, DUP_SPAN_K + 8 + 1)
+    assert got[1].span_tokens == DUP_SPAN_K + 8
+    # doc 2: run starts at token 4 (after 3 prefix tokens), ends at EOS
+    assert (got[2].start_tok, got[2].end_tok) == (4, DUP_SPAN_K + 8 + 3)
+    assert got[2].max_occ == 2
+
+
+def test_bloom_gate_no_false_negatives_and_live_fp_arm(spark):
+    """The Bloom guarantee: NEVER a false negative (a truly-seen url
+    always hits). The grading-size filter must also exercise the
+    false-positive arm, or the approximation is vacuously graded."""
+    from goose_spark.textops import q_bloom_dedup
+
+    rows = q_bloom_dedup(spark, "/root/testdata/sf0.001").collect()
+    assert all(r.bloom_hit for r in rows if r.truly_seen)
+    fps = [r for r in rows if r.false_pos]
+    assert len(fps) > 0, "BLOOM_M too large: fp arm never exercised"
+    # and the fp rate stays a PRE-filter, not a sieve that passes all
+    assert len(fps) < 0.2 * len(rows)
