@@ -200,13 +200,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # render documents.text as real PDFs in-batch, parse back with
         # positional layout reconstruction; oracle = normalized source
         "q_pdf_extract": P.q_pdf_extract,
-        "q_warc_roundtrip": W.q_warc_roundtrip,
         # full crawl chain: page → WARC container → parse → extraction,
         # gated against a SQL-recomputable known-extractable page shape
         "q_warc_extract": W.q_warc_extract,
-        "q_wet_export": W.q_wet_export,
         "q_charset_decode": EN.q_charset_decode,
         "q_robots_gate": RB.q_robots_gate,
+        # sitemap parsing (new r4-late): the discovery half of crawl
+        # politeness — real XML synth per host, minidom parse back,
+        # closed-form oracle incl. entry order
+        "q_sitemap_parse": RB.q_sitemap_parse,
+        # markdown output surface (new r4-late): same content selection
+        # as the flat text, inline structure preserved; md5 whole-chain
+        "q_markdown_export": ST.q_markdown_export,
         # Part B relational probes (SURVEY.md §2.6) — one shuffle-join
         # and the pandas-UDAF shape stay graded as anchors
         "q_equi_join_3way": Q.q_equi_join_3way,
@@ -227,6 +232,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_exact": T.q_dedup_exact,
         "q_chunk_windows": T.q_chunk_windows,
         "q_pack_sequences": T.q_pack_sequences,
+        # rotated late r4 for sitemap/markdown: the WARC chain stays
+        # anchored in-window by q_warc_extract (the full-chain hash
+        # gate); roundtrip/WET are its narrower sub-probes, green r3
+        "q_warc_roundtrip": W.q_warc_roundtrip,
+        "q_wet_export": W.q_wet_export,
         "q_anti_join": Q.q_anti_join,
         "q_broadcast_join": Q.q_broadcast_join,
         "q_semi_join": Q.q_semi_join,
@@ -331,6 +341,8 @@ def oracle_sql() -> dict[str, str]:
         "q_substring_dedup": T.ORACLE_SUBSTRING_DEDUP,
         "q_bloom_dedup": T.ORACLE_BLOOM_DEDUP,
         "q_anchor_text": CO.ORACLE_ANCHOR_TEXT,
+        "q_sitemap_parse": RB.ORACLE_SITEMAP_PARSE,
+        "q_markdown_export": ST.ORACLE_MARKDOWN_EXPORT,
         "q_pii_redact": FL.ORACLE_PII_REDACT,
         "q_repetition_filter": FL.ORACLE_REPETITION_FILTER,
         "q_domain_cap": FL.ORACLE_DOMAIN_CAP,

@@ -96,3 +96,88 @@ SELECT doc_id,
        doc_id % 6 NOT IN (0, 2, 3) AS allowed
 FROM documents
 """
+
+
+# ------------------------------------------------------- sitemap parsing --
+# The discovery half of crawl politeness: robots.txt points at sitemap
+# XML; the crawler parses <urlset> entries into the frontier with their
+# lastmod/changefreq/priority scheduling hints. One sitemap per host is
+# synthesized as REAL XML by a JVM aggregate (deterministic fields keyed
+# on doc_id), then parsed back by gooselite.minidom inside mapInPandas —
+# the DuckDB oracle recomputes the fields closed-form and never sees the
+# XML, so a hash match proves the parse round-trip, entry order
+# included (pos = document order within the sitemap).
+#
+# Scale shape: sitemaps are per-host files (50k urls / 50 MB cap per
+# the protocol), so the build side is a host-keyed aggregate whose
+# groups are protocol-bounded, and the parse is one linear mapInPandas
+# pass over (host, xml) rows — no corpus shuffle in either direction.
+_SITEMAP_FREQS = ("daily", "weekly", "monthly", "yearly")
+
+_SITEMAP_XML = (
+    "concat('<?xml version=\"1.0\" encoding=\"UTF-8\"?>"
+    "<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">',"
+    " array_join(transform(array_sort(collect_list(doc_id)), i -> concat("
+    "   '<url><loc>https://', source, '.example/d/', cast(i as string),"
+    "   '</loc><lastmod>2026-', lpad(cast(i % 12 + 1 as string), 2, '0'),"
+    "   '-', lpad(cast(i % 28 + 1 as string), 2, '0'),"
+    "   '</lastmod><changefreq>',"
+    "   element_at(array('daily','weekly','monthly','yearly'),"
+    "              cast(i % 4 as int) + 1),"
+    "   '</changefreq><priority>0.', cast(i % 10 as string),"
+    "   '</priority></url>')), ''),"
+    " '</urlset>')"
+)
+
+
+def _sitemap_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from gooselite.minidom import parse_html
+
+    for pdf in it:
+        out = {"source": [], "pos": [], "loc": [], "lastmod": [],
+               "changefreq": [], "priority": []}
+        for source, xml in zip(pdf["source"], pdf["xml"]):
+            root = parse_html(xml)
+            for pos, u in enumerate(root.get_elements_by_tag("url")):
+                vals = {}
+                for f in ("loc", "lastmod", "changefreq", "priority"):
+                    els = u.get_elements_by_tag(f)
+                    vals[f] = els[0].get_text().strip() if els else None
+                out["source"].append(source)
+                out["pos"].append(pos)
+                for f in ("loc", "lastmod", "changefreq", "priority"):
+                    out[f].append(vals[f])
+        yield pd.DataFrame({
+            "source": pd.Series(out["source"], dtype="object"),
+            "pos": pd.Series(out["pos"], dtype="int32"),
+            "loc": pd.Series(out["loc"], dtype="object"),
+            "lastmod": pd.Series(out["lastmod"], dtype="object"),
+            "changefreq": pd.Series(out["changefreq"], dtype="object"),
+            "priority": pd.Series(out["priority"], dtype="object"),
+        })
+
+
+def q_sitemap_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    d = load(spark, sf_dir, "documents")
+    sm = d.groupBy("source").agg(F.expr(_SITEMAP_XML).alias("xml"))
+    return sm.mapInPandas(
+        _sitemap_batches,
+        schema=("source string, pos int, loc string, lastmod string,"
+                " changefreq string, priority string"))
+
+
+ORACLE_SITEMAP_PARSE = """
+SELECT source,
+       CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) - 1
+            AS INT) AS pos,
+       'https://' || source || '.example/d/' || CAST(doc_id AS VARCHAR)
+           AS loc,
+       '2026-' || lpad(CAST(doc_id % 12 + 1 AS VARCHAR), 2, '0') || '-' ||
+           lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') AS lastmod,
+       (['daily','weekly','monthly','yearly'])[CAST(doc_id % 4 AS INT) + 1]
+           AS changefreq,
+       '0.' || CAST(doc_id % 10 AS VARCHAR) AS priority
+FROM documents
+"""

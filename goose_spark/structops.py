@@ -164,3 +164,80 @@ SELECT doc_id,
        md5({_TBL_CELLS}) AS cells_md5
 FROM documents
 """
+
+
+# ------------------------------------------------------- markdown export --
+# The markdown output surface (gooselite/markdown.py): same content
+# selection as the canonical flat text, but inline structure preserved
+# (links as [label](href), bold/italic emphasis, '# title' heading).
+# The page planted per doc keeps the oracle closed-form: only <p>
+# blocks (post_cleanup never prunes <p> children, so survival is
+# deterministic) with inline <a>/<b>/<i>; heading/list/blockquote/
+# table rendering is pinned by unit tests on DOM nodes instead
+# (tests/test_markdown.py). The md5 gate covers the WHOLE chain:
+# page synth → parse → clean → score → markdown render.
+_MD_SENTINEL = ("This is the article body and it has the words that "
+                "the scorer counts for all of the languages involved.")
+
+
+def _md_page(doc_id: int, text: str) -> bytes:
+    import html as _h
+
+    body = _h.escape(f"{_MD_SENTINEL} {text}".strip())
+    nxt = doc_id + 1
+    return (
+        f"<html><head><meta charset=\"utf-8\"><title>Doc {doc_id}</title>"
+        f"</head><body><div><a href=\"/\">Home</a> <a href=\"/a\">About"
+        f"</a></div><article><p>{body}</p>"
+        f"<p>See <a href=\"/d/{nxt}\">doc {nxt}</a> for <b>more</b> of "
+        f"the <i>same</i> prose we keep for this test</p>"
+        f"</article></body></html>"
+    ).encode("utf-8")
+
+
+def _md_batches(it):
+    from gooselite import extract_one
+    from gooselite.config import ExtractionConfig
+
+    cfg = ExtractionConfig(enable_markdown=True)
+    for batch in it:
+        out = {"doc_id": [], "title": [], "md_md5": [], "n_blocks": []}
+        for i, t in zip(batch["doc_id"], batch["text"]):
+            doc_id = int(i)
+            art = extract_one(_md_page(doc_id, t or ""), "en",
+                              f"https://example.com/doc/{doc_id}", cfg)
+            md = art["markdown"] or ""
+            out["doc_id"].append(doc_id)
+            out["title"].append(art["title"])
+            out["md_md5"].append(hashlib.md5(md.encode()).hexdigest())
+            out["n_blocks"].append(md.count("\n\n") + 1 if md else 0)
+        yield pd.DataFrame({
+            "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+            "title": out["title"],
+            "md_md5": out["md_md5"],
+            "n_blocks": pd.Series(out["n_blocks"], dtype="int32"),
+        })
+
+
+def q_markdown_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markdown rendering of the extracted article: one shuffle-free
+    mapInPandas pass over (doc_id, text)."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.mapInPandas(
+        _md_batches,
+        schema="doc_id long, title string, md_md5 string, n_blocks int")
+
+
+ORACLE_MARKDOWN_EXPORT = f"""
+SELECT doc_id,
+       'Doc ' || doc_id AS title,
+       md5('# Doc ' || doc_id || chr(10) || chr(10) ||
+           trim('{_MD_SENTINEL} ' ||
+                trim(regexp_replace(text, '\\s+', ' ', 'g'))) ||
+           chr(10) || chr(10) ||
+           'See [doc ' || (doc_id + 1) || '](/d/' || (doc_id + 1) ||
+           ') for **more** of the *same* prose we keep for this test')
+           AS md_md5,
+       CAST(3 AS INT) AS n_blocks
+FROM documents
+"""

@@ -25,6 +25,9 @@ class ExtractionConfig:
         feature toggles for
         the optional Article fields (A19 / A18 / A16 / A4-ext); disabled
         fields come back None/empty, the pipeline itself is unchanged.
+    enable_markdown: additionally render the cleaned top node as
+        markdown (gooselite.markdown; beyond-reference surface). OFF by
+        default — the canonical flat-text bytes are never affected.
     doc_timeout_s: per-document wall budget enforced by the Spark UDF
         watchdog (not by extract_one itself); None → GOOSE_DOC_TIMEOUT_S
         env default in goose_spark.udf.
@@ -38,6 +41,7 @@ class ExtractionConfig:
     enable_authors: bool = True
     enable_opengraph: bool = True
     enable_links: bool = True
+    enable_markdown: bool = False
     doc_timeout_s: float | None = None
 
 

@@ -62,7 +62,7 @@ def _empty_result(url: str, status: str, err: str | None, bytes_in: int,
         "meta_description": "", "meta_keywords": "", "meta_lang": None,
         "canonical_link": "", "domain": get_domain(url), "tags": [],
         "movies": [], "publish_date": None, "top_image": None,
-        "authors": [], "opengraph": [], "links": [],
+        "authors": [], "opengraph": [], "links": [], "markdown": None,
         "lang_fallback": lang_fallback,
         "status": status, "err": err, "bytes_in": bytes_in,
         "parse_ms": parse_ms,
@@ -155,6 +155,7 @@ def _extract_parsed(root, lang: str | None, url: str, bytes_in: int,
     clean_document(root)
     top_node = calculate_best_node(root, effective_lang)
     cleaned_text = ""
+    markdown: str | None = None
     links: list[str] = []
     if top_node is not None:
         top_node = post_cleanup(top_node, effective_lang)
@@ -165,6 +166,13 @@ def _extract_parsed(root, lang: str | None, url: str, bytes_in: int,
         # drops (<3 stopwords / negative score) still appears here
         if config.enable_links:
             links = extract_links(top_node, url)
+        # markdown renders BEFORE get_formatted_text: the flat formatter
+        # drop_tag()s every <a>/<b>/<i> in place, destroying the
+        # structure markdown preserves
+        if config.enable_markdown:
+            from gooselite.markdown import to_markdown
+
+            markdown = to_markdown(top_node, title)
         cleaned_text = get_formatted_text(top_node, effective_lang)
 
     parse_ms = (time.perf_counter() - t0) * 1000.0
@@ -176,7 +184,7 @@ def _extract_parsed(root, lang: str | None, url: str, bytes_in: int,
         "canonical_link": canonical_link, "domain": get_domain(url),
         "tags": tags, "movies": movies, "publish_date": publish_date,
         "top_image": top_image, "authors": authors,
-        "opengraph": opengraph, "links": links,
+        "opengraph": opengraph, "links": links, "markdown": markdown,
         "lang_fallback": lang_fallback, "status": status, "err": None,
         "bytes_in": bytes_in, "parse_ms": parse_ms,
     }

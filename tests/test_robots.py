@@ -78,3 +78,27 @@ def test_compiled_fast_path_matches_allowed():
     c = compile_rules(r, "bot")
     for p in ("/p/x", "/p/ok/y", "/q"):
         assert allowed_compiled(c, p) == allowed(r, "bot", p)
+
+
+def test_sitemap_parse_order_and_totality(spark):
+    """Entry order in the parsed output equals document order in the
+    XML (pos is contiguous from 0 per host), and a malformed sitemap
+    yields zero entries instead of failing the task."""
+    from goose_spark.robotsops import _sitemap_batches, q_sitemap_parse
+
+    import pandas as pd
+
+    rows = q_sitemap_parse(spark, "/root/testdata/sf0.001").collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r.pos)
+    for src, poss in by_src.items():
+        assert sorted(poss) == list(range(len(poss))), src
+    # loc entries are sorted by doc_id within a host (array_sort synth)
+    one = sorted((r.pos, r.loc) for r in rows if r.source == rows[0].source)
+    ids = [int(loc.rsplit("/", 1)[1]) for _, loc in one]
+    assert ids == sorted(ids)
+    # totality: garbage XML parses to no rows, no exception
+    garbage = pd.DataFrame({"source": ["h"], "xml": ["<urlset><url><loc>"]})
+    out = pd.concat(list(_sitemap_batches(iter([garbage]))))
+    assert len(out) <= 1  # salvage parser may recover the open <url>
