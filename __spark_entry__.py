@@ -152,18 +152,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # span-level exact dedup (new r4-late): maximal duplicated
         # K-token intervals per doc (the ExactSubstr policy)
         "q_substring_dedup": T.q_substring_dedup,
+        # the removal half of ExactSubstr: covered tokens dropped,
+        # cleaned text md5-gated (new r4-late)
+        "q_substring_clean": T.q_substring_clean,
         # bloom seen-set pre-filter for checkpoint resume (new r4-late):
         # graded INCLUDING its false positives (deterministic j-hash)
         "q_bloom_dedup": T.q_bloom_dedup,
         # anchor-text harvest per target url (new r4-late): rides the
         # q_link_extract parse pass, capped distinct-anchor aggregate
         "q_anchor_text": CO.q_anchor_text,
-        "q_token_bpeish": T.q_token_bpeish,
         "q_minhash_pairs": T.q_minhash_pairs,
         "q_simhash": T.q_simhash,
         "q_simhash_pairs": T.q_simhash_pairs,
         "q_lang_id": T.q_lang_id,
-        "q_gopher_rules": T.q_gopher_rules,
         # BPE merge-pair mining (late r4): the tokenizer-training
         # statistic — one iteration's pair counts over the vocab
         "q_bpe_merge": T.q_bpe_merge,
@@ -209,6 +210,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # politeness — real XML synth per host, minidom parse back,
         # closed-form oracle incl. entry order
         "q_sitemap_parse": RB.q_sitemap_parse,
+        # politeness-aware frontier scheduling: per-host slots × the
+        # host's crawl delay (new r4-late)
+        "q_crawl_schedule": RB.q_crawl_schedule,
         # markdown output surface (new r4-late): same content selection
         # as the flat text, inline structure preserved; md5 whole-chain
         "q_markdown_export": ST.q_markdown_export,
@@ -237,6 +241,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # gate); roundtrip/WET are its narrower sub-probes, green r3
         "q_warc_roundtrip": W.q_warc_roundtrip,
         "q_wet_export": W.q_wet_export,
+        # rotated late r4 for substring-clean/crawl-schedule: green r3,
+        # q_bpe_merge anchors tokenizer stats and q_repetition_filter +
+        # q_quality_classifier anchor quality gating in-window
+        "q_token_bpeish": T.q_token_bpeish,
+        "q_gopher_rules": T.q_gopher_rules,
         "q_anti_join": Q.q_anti_join,
         "q_broadcast_join": Q.q_broadcast_join,
         "q_semi_join": Q.q_semi_join,
@@ -343,6 +352,8 @@ def oracle_sql() -> dict[str, str]:
         "q_anchor_text": CO.ORACLE_ANCHOR_TEXT,
         "q_sitemap_parse": RB.ORACLE_SITEMAP_PARSE,
         "q_markdown_export": ST.ORACLE_MARKDOWN_EXPORT,
+        "q_substring_clean": T.ORACLE_SUBSTRING_CLEAN,
+        "q_crawl_schedule": RB.ORACLE_CRAWL_SCHEDULE,
         "q_pii_redact": FL.ORACLE_PII_REDACT,
         "q_repetition_filter": FL.ORACLE_REPETITION_FILTER,
         "q_domain_cap": FL.ORACLE_DOMAIN_CAP,

@@ -181,3 +181,57 @@ SELECT source,
        '0.' || CAST(doc_id % 10 AS VARCHAR) AS priority
 FROM documents
 """
+
+
+# -------------------------------------------------- frontier scheduling --
+# Politeness-aware fetch scheduling: the frontier step between sitemap
+# discovery (q_sitemap_parse) and the WARC fetch — per host, urls are
+# ordered by sitemap priority (ties by id), given fetch slots, and each
+# slot is offset by the host's crawl delay (the robots.txt Crawl-delay
+# knob, synthesized deterministically per host via md5int60 so both
+# engines compute the identical schedule).
+#
+# Scale shape: ONE host-keyed window over (priority, id) int pairs —
+# bounded by host size, which is exactly the politeness unit (a host's
+# schedule is inherently sequential; parallelism comes from the
+# millions of hosts, not from inside one). The corpus text never
+# enters; the shuffle rows are four ints and a hostname.
+
+
+def q_crawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from goose_spark.textops import _MD5INT60_SPARK
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "source")
+    d = d.withColumn(
+        "delay_s",
+        F.expr(_MD5INT60_SPARK.format(x="source") + " % 4 * 5 + 5")
+        .cast("long"))
+    d = d.withColumn("priority", (F.col("doc_id") % 10).cast("long"))
+    w = Window.partitionBy("source").orderBy(
+        F.desc("priority"), F.asc("doc_id"))
+    d = d.withColumn("slot", (F.row_number().over(w) - 1).cast("long"))
+    return d.select(
+        "source", "doc_id", "priority", "slot", "delay_s",
+        (F.col("slot") * F.col("delay_s")).alias("fetch_offset_s"))
+
+
+ORACLE_CRAWL_SCHEDULE = """
+WITH d AS (
+  SELECT doc_id, source,
+         CAST(concat('0x', substr(md5(source), 1, 15)) AS BIGINT)
+             % 4 * 5 + 5 AS delay_s,
+         CAST(doc_id % 10 AS BIGINT) AS priority
+  FROM documents)
+SELECT source, doc_id, priority,
+       CAST(ROW_NUMBER() OVER (PARTITION BY source
+                               ORDER BY priority DESC, doc_id) - 1
+            AS BIGINT) AS slot,
+       delay_s,
+       (ROW_NUMBER() OVER (PARTITION BY source
+                           ORDER BY priority DESC, doc_id) - 1) * delay_s
+           AS fetch_offset_s
+FROM d
+"""

@@ -1344,3 +1344,70 @@ SELECT pos.doc_id,
 FROM pos LEFT JOIN bits USING (p)
 GROUP BY pos.doc_id
 """
+
+
+def q_substring_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The removal half of ExactSubstr dedup: drop every token covered
+    by a duplicated span (q_substring_dedup's intervals) and emit the
+    cleaned text's md5 + kept-token count per document.
+
+    Shape: spans aggregate to a per-doc interval array (tiny — spans,
+    not text), LEFT-join back to the corpus on doc_id (zero-exchange
+    under the bucketed layout), and the token drop is a pure codegen
+    higher-order filter (transform index + exists over the interval
+    array) — no token-level join, no second corpus shuffle."""
+    spans = q_substring_dedup(spark, sf_dir)
+    sp = spans.groupBy("doc_id").agg(
+        F.expr("array_sort(collect_list(struct(start_tok, end_tok)))")
+        .alias("spans"))
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks"))
+    j = d.join(sp, "doc_id", "left")
+    kept = F.expr(
+        "filter(transform(toks, (t, i) -> struct(t AS t, i + 1 AS p)),"
+        " x -> spans IS NULL OR NOT exists(spans,"
+        "   s -> x.p >= s.start_tok AND x.p <= s.end_tok))")
+    j = j.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        kept.alias("kept"))
+    return j.select(
+        "doc_id", "n_tokens",
+        F.size("kept").cast("long").alias("kept_tokens"),
+        F.md5(F.expr("array_join(transform(kept, x -> x.t), ' ')")
+              .cast("binary")).alias("clean_md5"))
+
+
+# The clean oracle reuses the whole span-derivation CTE chain (ORACLE_
+# SUBSTRING_DEDUP minus its final SELECT), then drops covered tokens
+# with a token-level NOT EXISTS and re-hashes the per-doc join — the
+# independent-twin shape, deliberately NOT the Spark higher-order-filter
+# plan. md5(coalesce(.., '')) guards the fully-covered-document edge
+# (md5('') vs NULL would diverge across engines).
+_ORACLE_SPANS_CTE = ORACLE_SUBSTRING_DEDUP[
+    :ORACLE_SUBSTRING_DEDUP.index("SELECT doc_id, span_id,")]
+
+ORACLE_SUBSTRING_CLEAN = _ORACLE_SPANS_CTE + f"""
+, iv AS (
+  SELECT doc_id, MIN(off) AS start_tok,
+         MAX(off) + {DUP_SPAN_K} - 1 AS end_tok
+  FROM spans GROUP BY doc_id, span_id),
+tok AS (
+  SELECT doc_id, n,
+         unnest(generate_series(1, n)) AS pos, toks
+  FROM t),
+tk AS (SELECT doc_id, n, pos, toks[pos] AS tv FROM tok),
+kept AS (
+  SELECT tk.* FROM tk
+  WHERE NOT EXISTS (SELECT 1 FROM iv
+                    WHERE iv.doc_id = tk.doc_id
+                      AND tk.pos BETWEEN iv.start_tok AND iv.end_tok))
+SELECT t.doc_id,
+       CAST(t.n AS BIGINT) AS n_tokens,
+       CAST(COALESCE(k.kc, 0) AS BIGINT) AS kept_tokens,
+       md5(COALESCE(k.body, '')) AS clean_md5
+FROM t LEFT JOIN (
+  SELECT doc_id, COUNT(*) AS kc,
+         string_agg(tv, ' ' ORDER BY pos) AS body
+  FROM kept GROUP BY doc_id) k USING (doc_id)
+"""

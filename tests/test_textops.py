@@ -447,3 +447,34 @@ def test_bloom_gate_no_false_negatives_and_live_fp_arm(spark):
     assert len(fps) > 0, "BLOOM_M too large: fp arm never exercised"
     # and the fp rate stays a PRE-filter, not a sieve that passes all
     assert len(fps) < 0.2 * len(rows)
+
+
+def test_substring_clean_removes_exactly_the_planted_span(spark):
+    """Clean = original minus covered tokens; untouched docs keep their
+    exact original token stream (md5 equality against a recomputation)."""
+    import hashlib
+    import tempfile
+
+    from goose_spark.textops import DUP_SPAN_K, q_substring_clean
+
+    shared = " ".join(f"s{i}" for i in range(DUP_SPAN_K + 8))
+    uniq = " ".join(f"u{i}" for i in range(40))
+    rows = [
+        (1, "alpha " + shared + " omega"),
+        (2, "prefix one two " + shared),
+        (3, uniq),
+    ]
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(rows, "doc_id long, text string") \
+            .write.parquet(td + "/documents.parquet")
+        got = {r.doc_id: r for r in q_substring_clean(spark, td).collect()}
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    # doc 1: "alpha" + "omega" survive
+    assert got[1].kept_tokens == 2
+    assert got[1].clean_md5 == md5("alpha omega")
+    # doc 2: the three prefix tokens survive
+    assert got[2].kept_tokens == 3
+    assert got[2].clean_md5 == md5("prefix one two")
+    # doc 3: untouched, byte-identical
+    assert got[3].kept_tokens == 40
+    assert got[3].clean_md5 == md5(uniq)
