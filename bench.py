@@ -144,7 +144,9 @@ def main() -> None:
                  "q_pdf_extract", "q_image_decode", "q_repetition_filter",
                  # late-r4 corpus-maintenance flagships (adds ~2.5s to
                  # the suite total vs r3's query set)
-                 "q_paragraph_dedup", "q_pagerank"):
+                 "q_paragraph_dedup", "q_pagerank",
+                 # late-r4 span-level dedup (adds ~1s vs the 16-query set)
+                 "q_substring_dedup"):
         best = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()
