@@ -141,8 +141,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stateful_running_max": _q_stateful_running_max,
         # streaming dedup: doubled source, dropDuplicates within watermark
         "q_stream_dedup": _q_stream_dedup,
-        # corpus filters: PII scrub, repetition signals, domain capping
-        "q_pii_redact": FL.q_pii_redact,
+        # corpus filters: repetition signals, domain capping, and the
+        # end-to-end corpus-build funnel (new r4-late: composes gopher →
+        # repetition → exact dedup → domain cap → mix sample; its hash
+        # gate transitively re-checks all five gates in one row set)
+        "q_corpus_funnel": FL.q_corpus_funnel,
         "q_repetition_filter": FL.q_repetition_filter,
         # hashed-linear quality classifier inference (late r4)
         "q_quality_classifier": FL.q_quality_classifier,
@@ -246,6 +249,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # q_quality_classifier anchor quality gating in-window
         "q_token_bpeish": T.q_token_bpeish,
         "q_gopher_rules": T.q_gopher_rules,
+        # rotated late r4 for the corpus funnel (green r3; zero-shuffle
+        # codegen scan shape still plan-asserted every pytest run)
+        "q_pii_redact": FL.q_pii_redact,
         "q_anti_join": Q.q_anti_join,
         "q_broadcast_join": Q.q_broadcast_join,
         "q_semi_join": Q.q_semi_join,
@@ -354,6 +360,7 @@ def oracle_sql() -> dict[str, str]:
         "q_markdown_export": ST.ORACLE_MARKDOWN_EXPORT,
         "q_substring_clean": T.ORACLE_SUBSTRING_CLEAN,
         "q_crawl_schedule": RB.ORACLE_CRAWL_SCHEDULE,
+        "q_corpus_funnel": FL.ORACLE_CORPUS_FUNNEL,
         "q_pii_redact": FL.ORACLE_PII_REDACT,
         "q_repetition_filter": FL.ORACLE_REPETITION_FILTER,
         "q_domain_cap": FL.ORACLE_DOMAIN_CAP,

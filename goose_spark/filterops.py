@@ -441,3 +441,79 @@ SELECT doc_id, n_tokens, uni_sum, n_bigrams, bi_sum,
        (uni_sum + bi_sum) >= 0 AS keep
 FROM s
 """
+
+
+# -------------------------------------------------------- corpus funnel --
+# The end-to-end corpus build: every quality/dedup/budget gate this repo
+# ships, composed in the order a production pipeline runs them, with
+# per-stage survivor counts — the funnel report a data-pipeline owner
+# actually reads. Each stage REUSES the probe operator itself (one
+# definition per gate; the funnel is composition, not re-implementation)
+# and the DuckDB twin composes the same per-gate oracles as nested CTEs,
+# so the funnel's hash gate transitively re-checks five operators in one
+# row set.
+#
+# Scale shape: every inter-stage join is doc_id-keyed (co-partitioned
+# under the bucketed layout → zero-exchange), and each gate's own
+# shuffle discipline is unchanged from its standalone probe. The funnel
+# adds counts, not new corpus-sized shuffles.
+FUNNEL_STAGES = ("all", "gopher", "repetition", "exact_dedup",
+                 "domain_cap", "mix_sample")
+
+
+def q_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from goose_spark.corpusops import q_mix_sample
+    from goose_spark.textops import q_dedup_exact, q_gopher_rules
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    gates = [
+        q_gopher_rules(spark, sf_dir).filter("passes").select("doc_id"),
+        q_repetition_filter(spark, sf_dir).filter("passes")
+        .select("doc_id"),
+        q_dedup_exact(spark, sf_dir)
+        .select(F.col("keep_id").alias("doc_id")),
+        q_domain_cap_kept(spark, sf_dir).select("doc_id"),
+        q_mix_sample(spark, sf_dir).filter("kept").select("doc_id"),
+    ]
+    cum = [d]
+    for g in gates:
+        cum.append(cum[-1].join(g, "doc_id"))
+    counts = None
+    for stage, (name, c) in enumerate(zip(FUNNEL_STAGES, cum)):
+        row = c.agg(
+            F.lit(stage).cast("int").alias("stage"),
+            F.lit(name).alias("gate"),
+            F.count(F.lit(1)).alias("n_kept"))
+        counts = row if counts is None else counts.unionAll(row)
+    return counts
+
+
+def _oracle_corpus_funnel() -> str:
+    from goose_spark.corpusops import ORACLE_MIX_SAMPLE
+    from goose_spark.textops import ORACLE_DEDUP_EXACT, ORACLE_GOPHER_RULES
+
+    parts = [
+        f"WITH gq AS ({ORACLE_GOPHER_RULES}),",
+        f"rq AS ({ORACLE_REPETITION_FILTER}),",
+        f"kq AS ({ORACLE_DEDUP_EXACT}),",
+        f"dq AS ({ORACLE_DOMAIN_CAP_KEPT}),",
+        f"mq AS ({ORACLE_MIX_SAMPLE}),",
+        "c0 AS (SELECT doc_id FROM documents),",
+        "c1 AS (SELECT c0.doc_id FROM c0 JOIN gq USING (doc_id)"
+        " WHERE gq.passes),",
+        "c2 AS (SELECT c1.doc_id FROM c1 JOIN rq USING (doc_id)"
+        " WHERE rq.passes),",
+        "c3 AS (SELECT c2.doc_id FROM c2 JOIN kq ON c2.doc_id = kq.keep_id),",
+        "c4 AS (SELECT c3.doc_id FROM c3 JOIN dq USING (doc_id)),",
+        "c5 AS (SELECT c4.doc_id FROM c4 JOIN mq USING (doc_id)"
+        " WHERE mq.kept)",
+    ]
+    selects = [
+        f"SELECT CAST({i} AS INT) AS stage, '{name}' AS gate,"
+        f" CAST(COUNT(*) AS BIGINT) AS n_kept FROM c{i}"
+        for i, name in enumerate(FUNNEL_STAGES)
+    ]
+    return "\n".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+ORACLE_CORPUS_FUNNEL = _oracle_corpus_funnel()

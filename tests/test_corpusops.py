@@ -254,3 +254,20 @@ def test_anchor_text_aggregates_parsed_anchors(spark):
         assert 1 <= len(parts) <= ANCHOR_SET_CAP
         assert all(p.startswith("link ") for p in parts)
         assert parts == sorted(parts)
+
+
+def test_corpus_funnel_monotone_and_anchored(spark):
+    """The funnel never grows (each stage is an intersection), stage 0
+    is the corpus size, and the mix-sample tail equals the standalone
+    probe's kept count (composition == per-gate operators)."""
+    from goose_spark.corpusops import q_mix_sample
+    from goose_spark.filterops import FUNNEL_STAGES, q_corpus_funnel
+
+    SF = "/root/testdata/sf0.001"
+    rows = {r.stage: r for r in q_corpus_funnel(spark, SF).collect()}
+    assert [rows[i].gate for i in range(len(FUNNEL_STAGES))] == \
+        list(FUNNEL_STAGES)
+    counts = [rows[i].n_kept for i in range(len(FUNNEL_STAGES))]
+    assert counts[0] == 500
+    assert all(a >= b for a, b in zip(counts, counts[1:]))
+    assert counts[-1] > 0
