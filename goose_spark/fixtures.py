@@ -35,7 +35,7 @@ EPOCH = datetime(2025, 1, 1, tzinfo=timezone.utc)
 
 # Bump when the template or stopword tables change: the /tmp cache key
 # includes it, so stale fixtures regenerate instead of mismatching code.
-FIXTURE_VERSION = 12  # v12: tr dotted-i / el tonos-stripped table variants
+FIXTURE_VERSION = 13  # v13: fa/uk/cs/ro tables join the language spread
 
 # Languages cycled onto a deterministic share of docs so fixtures exercise
 # every shipped stopword table (VERDICT r1 item 3), beyond the seed
@@ -44,7 +44,7 @@ FIXTURE_VERSION = 12  # v12: tr dotted-i / el tonos-stripped table variants
 # corpus; vi/he (and late-r4 hi/bn/tr/el) are space-delimited additions.
 _SPREAD_LANGS = ("da", "fi", "hu", "id", "it", "nb", "nl", "no", "pl",
                  "pt", "ru", "sv", "ko", "ar", "ja", "th", "vi", "he",
-                 "hi", "bn", "tr", "el")
+                 "hi", "bn", "tr", "el", "fa", "uk", "cs", "ro")
 
 # first 8 purely-alphabetic stopwords per language (sorted order) — the
 # paragraph prefix guaranteeing stopword_count >= 6 in every paragraph

@@ -394,6 +394,52 @@ bile yine belki zaten önce şimdi bugün yarın dün burada orada nerede
 ki sadece bunu bunun onun bizim sizin beni seni bunlar şunlar hiç
 """
 
+# Persian is space-delimited (the ezafe and plural clitics attach or
+# are written with ZWNJ, which whitespace tokenization keeps inside the
+# token, so only standalone function words are table entries; ZWNJ-free
+# spellings are used so tokens match under plain str.split).
+_FA = """
+و در به از که این را با است برای آن یک خود تا بر او ما من شما آنها
+هم نیز اما اگر یا نه بله شد شده بود باشد هست نیست همه هیچ هر دو سه
+چه چرا چگونه کجا کی وقتی پس بین روی زیر بالا بدون درباره مانند مثل
+دیگر همین همان باید شاید البته یعنی ولی چون زیرا سپس اکنون امروز
+فردا دیروز اینجا آنجا کسی چیزی خیلی بسیار کم بیشتر کمتر فقط حتی
+آیا ایشان اینکه آنکه کدام چند تنها دوباره هنوز همیشه هرگز
+"""
+
+# Ukrainian is space-delimited Cyrillic; distinct from the Russian
+# table (і/є/це/що vs и/есть/это/что) so the two never alias.
+_UK = """
+і в не на що з до це як я ми ви він вона воно вони та але й у за
+від про так було буде бути є цей ця ці той теж його її їх нас вас
+них мене тебе собі щоб коли де хто чому або ні також вже ще тут там
+усі все весь який яка яке які мій твій наш ваш свій один два три
+дуже більше менше лише тільки навіть може треба немає через після
+перед під над між без кожен інший такий тоді зараз сьогодні завтра
+"""
+
+# Czech is space-delimited; single-letter prepositions (a, i, k, o,
+# s, u, v, z) are genuine high-frequency tokens.
+_CS = """
+a v na je se z že s do i to jako by ale o k po při za od pro nebo
+když už být byl byla bylo jsou jsem jsi jsme jste není co kdo kde
+kdy proč jak tak ten ta ti ty my vy on ona oni aby všech každý jen
+také ještě může musí u mě tě si nás vás jich jeho její jejich můj
+tvůj náš váš svůj jeden dva tři velmi více méně pouze ani nebo tedy
+pak nyní dnes zítra včera tady tam přes mezi bez před pod nad
+"""
+
+# Romanian is space-delimited; the table keeps diacritic forms (și,
+# că, după) — the corpus convention writes them with comma-below.
+_RO = """
+și în de la a pe cu nu se un o că este sunt am are fi fost pentru
+din mai dar sau dacă când unde cine ce cum așa el ea ei ele noi voi
+eu tu al ai ale lui sale acest această aceste care fiecare foarte
+după între fără sub peste prin către despre până doar numai chiar
+atunci acum azi mâine ieri aici acolo meu tău nostru vostru său unul
+doi trei mult puțin toate orice alt altă asemenea deci totuși încă
+"""
+
 # Greek is space-delimited; the article/pronoun system supplies most
 # of the high-frequency tokens.
 _EL = """
@@ -448,6 +494,9 @@ STOPWORDS: dict[str, frozenset[str]] = {
         ("zh", _ZH), ("ko", _KO), ("ar", _AR),
         ("ja", _JA), ("th", _TH), ("vi", _VI), ("he", _HE),
         ("hi", _HI), ("bn", _BN), ("tr", _TR), ("el", _EL),
+        # late-r4 additions — appended LAST so the lang-id tie-break
+        # priorities of every earlier table are unchanged
+        ("fa", _FA), ("uk", _UK), ("cs", _CS), ("ro", _RO),
     )
 }
 

@@ -52,7 +52,7 @@ def test_simhash_near_dups_close(spark, planted):
 
 def test_lang_id_on_stopword_rich_text(spark, tmp_path_factory):
     pdf = pd.DataFrame({
-        "doc_id": [1, 2, 3, 4, 5, 6, 7],
+        "doc_id": [1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11],
         "text": [
             "the cat is on the mat and it is happy with the food it has",
             "der hund ist nicht auf dem tisch und er hat auch keine zeit",
@@ -63,9 +63,15 @@ def test_lang_id_on_stopword_rich_text(spark, tmp_path_factory):
             "İçin bunu yaptı ve o da geldi ama ben de orada var idim",
             "αυτό είναι εδώ και αυτή είναι με τους άλλους για μας",
             "এবং এই বই থেকে আমরা কিছু শিখি তার জন্য সে আসে",
+            # last-r4 tables: fa (vs the ar table), uk (vs ru), cs, ro
+            "این برای شما است و ما با ایشان اینجا هستیم ولی او نیست",
+            "це дуже добре що ми тут і вони також будуть з нами там",
+            "když jsme byli tady tak oni také mohli být s námi tam",
+            "această carte este pentru noi și fiecare dintre voi acum",
         ],
-        "lang": ["en", "de", "xx", "hi", "tr", "el", "bn"],
-        "source": ["t"] * 7, "n_chars": [1] * 7,
+        "lang": ["en", "de", "xx", "hi", "tr", "el", "bn",
+                 "fa", "uk", "cs", "ro"],
+        "source": ["t"] * 11, "n_chars": [1] * 11,
     })
     out = str(tmp_path_factory.mktemp("langid"))
     spark.createDataFrame(pdf).write.mode("overwrite").parquet(out + "/documents.parquet")
@@ -77,6 +83,10 @@ def test_lang_id_on_stopword_rich_text(spark, tmp_path_factory):
     assert got[5] == "tr"
     assert got[6] == "el"
     assert got[7] == "bn"
+    assert got[8] == "fa"
+    assert got[9] == "uk"
+    assert got[10] == "cs"
+    assert got[11] == "ro"
 
 
 def test_dedup_exact_counts(spark, planted):
