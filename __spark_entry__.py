@@ -207,7 +207,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # full crawl chain: page → WARC container → parse → extraction,
         # gated against a SQL-recomputable known-extractable page shape
         "q_warc_extract": W.q_warc_extract,
-        "q_charset_decode": EN.q_charset_decode,
+        # corrupt-member salvage (new r4-late): one flipped byte drops
+        # exactly one member, never the surrounding archive
+        "q_warc_salvage": W.q_warc_salvage,
         "q_robots_gate": RB.q_robots_gate,
         # sitemap parsing (new r4-late): the discovery half of crawl
         # politeness — real XML synth per host, minidom parse back,
@@ -244,6 +246,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # gate); roundtrip/WET are its narrower sub-probes, green r3
         "q_warc_roundtrip": W.q_warc_roundtrip,
         "q_wet_export": W.q_wet_export,
+        # rotated late r4 for the salvage probe: green r3, and the
+        # charset-decode path stays hash-gated transitively by
+        # q_warc_extract (meta-charset pages decode inside its chain)
+        "q_charset_decode": EN.q_charset_decode,
         # rotated late r4 for substring-clean/crawl-schedule: green r3,
         # q_bpe_merge anchors tokenizer stats and q_repetition_filter +
         # q_quality_classifier anchor quality gating in-window
@@ -361,6 +367,7 @@ def oracle_sql() -> dict[str, str]:
         "q_substring_clean": T.ORACLE_SUBSTRING_CLEAN,
         "q_crawl_schedule": RB.ORACLE_CRAWL_SCHEDULE,
         "q_corpus_funnel": FL.ORACLE_CORPUS_FUNNEL,
+        "q_warc_salvage": W.ORACLE_WARC_SALVAGE,
         "q_pii_redact": FL.ORACLE_PII_REDACT,
         "q_repetition_filter": FL.ORACLE_REPETITION_FILTER,
         "q_domain_cap": FL.ORACLE_DOMAIN_CAP,

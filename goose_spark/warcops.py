@@ -181,3 +181,81 @@ SELECT doc_id,
        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
 FROM documents
 """
+
+
+# ------------------------------------------------------- salvage parse --
+# Damage tolerance as a graded operator: real crawl archives contain
+# corrupt gzip members, and a reader that discards the whole file on
+# one bad member loses ~1 GB per bit-flip at CC scale. Each doc is
+# written as its own 3-member WARC segment (warcinfo/request/response);
+# docs with doc_id % 7 == 3 get the MIDDLE BYTE of their response
+# member flipped (CRC-32 guarantees the member can never parse), and
+# gooselite.warc.read_warc_salvage must drop exactly those responses
+# while every surrounding member survives. The oracle recomputes the
+# surviving set closed-form. The salvage COUNT is pytest-asserted on a
+# fixed single batch instead (it depends on batch composition).
+_SALVAGE_DROP_MOD = 7
+_SALVAGE_DROP_RESIDUE = 3
+
+
+def _member_spans(blob: bytes):
+    import zlib
+
+    spans, pos = [], 0
+    while pos < len(blob):
+        d = zlib.decompressobj(31)
+        d.decompress(blob[pos:])
+        d.flush()
+        ln = len(blob) - pos - len(d.unused_data)
+        spans.append((pos, ln))
+        pos += ln
+    return spans
+
+
+def _salvage_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from gooselite.warc import read_warc_salvage, write_warc
+
+    for batch in it:
+        if not len(batch):
+            continue
+        segs = []
+        for i, t in zip(batch["doc_id"], batch["text"]):
+            doc_id = int(i)
+            seg = write_warc(
+                [(f"https://example.com/doc/{doc_id}", (t or "").encode())],
+                gzip_records=True)
+            if doc_id % _SALVAGE_DROP_MOD == _SALVAGE_DROP_RESIDUE:
+                start, ln = _member_spans(seg)[-1]  # the response member
+                seg = bytearray(seg)
+                seg[start + ln // 2] ^= 0xFF
+                seg = bytes(seg)
+            segs.append(seg)
+        recs, _bad = read_warc_salvage(b"".join(segs))
+        out = {"doc_id": [], "payload_md5": [], "http_status": []}
+        for r in recs:
+            if r.rec_type != "response":
+                continue
+            out["doc_id"].append(int(r.url.rsplit("/", 1)[1]))
+            out["payload_md5"].append(hashlib.md5(r.payload).hexdigest())
+            out["http_status"].append(r.http_status)
+        yield pd.DataFrame({
+            "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+            "payload_md5": out["payload_md5"],
+            "http_status": pd.Series(out["http_status"], dtype="int64"),
+        })
+
+
+def q_warc_salvage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrupt-member salvage: one shuffle-free mapInPandas pass; only
+    the planted-bad responses disappear."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.mapInPandas(
+        _salvage_batches,
+        schema="doc_id long, payload_md5 string, http_status long")
+
+
+ORACLE_WARC_SALVAGE = f"""
+SELECT doc_id, md5(text) AS payload_md5, CAST(200 AS BIGINT) AS http_status
+FROM documents
+WHERE doc_id % {_SALVAGE_DROP_MOD} <> {_SALVAGE_DROP_RESIDUE}
+"""

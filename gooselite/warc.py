@@ -181,3 +181,59 @@ def read_warc_safe(b) -> Optional[List[WarcRecord]]:
         return read_warc(bytes(b))
     except Exception:
         return None
+
+
+def read_warc_salvage(b) -> tuple:
+    """Member-level salvage parse for per-record-gzipped WARCs: a
+    corrupt member (flipped bytes, bad CRC, truncation, framing
+    violation inside the member) is skipped and counted, and parsing
+    resumes at the next gzip magic — the behavior a Common-Crawl-scale
+    reader needs, since a single damaged member must never discard the
+    surrounding ~1 GB segment.
+
+    Returns (records, n_bad_regions). n_bad_regions >= the number of
+    corrupt members: resyncing on the 3-byte gzip magic can first land
+    on a false magic inside a corrupt member's compressed remainder and
+    count the same damage twice before reaching the next real member
+    (each retry advances strictly, so termination is guaranteed; good
+    members are never affected — they are entered via the previous
+    member's ``unused_data``, not by magic-scanning).
+
+    Plain (uncompressed) input has no member framing to salvage on:
+    it parses all-or-nothing like read_warc_safe.
+    """
+    data = bytes(b) if isinstance(b, (bytes, bytearray)) else b""
+    if data[:2] != b"\x1f\x8b":
+        recs = read_warc_safe(data)
+        return (recs or [], 0 if recs is not None else 1)
+    records: List[WarcRecord] = []
+    bad = 0
+    rest = data
+    while rest:
+        if rest[:2] != b"\x1f\x8b":
+            nxt = rest.find(b"\x1f\x8b\x08")
+            bad += 1
+            if nxt < 0:
+                break
+            rest = rest[nxt:]
+            continue
+        d = zlib.decompressobj(31)
+        try:
+            raw = d.decompress(rest) + d.flush()
+            if not d.eof:
+                raise ValueError("truncated gzip member")
+            nxt_rest = d.unused_data
+        except Exception:
+            nxt = rest.find(b"\x1f\x8b\x08", 2)
+            bad += 1
+            if nxt < 0:
+                break
+            rest = rest[nxt:]
+            continue
+        recs = read_warc_safe(raw)
+        if recs is None:
+            bad += 1
+        else:
+            records.extend(recs)
+        rest = nxt_rest
+    return records, bad

@@ -112,3 +112,43 @@ def test_wet_roundtrip_conversion_records():
         assert [(r.url, r.payload.decode("utf-8")) for r in conv] == [
             (u, t) for u, t in docs]
         assert all(r.http_status is None for r in conv)
+
+
+def test_salvage_drops_only_corrupt_members_and_counts():
+    """One flipped byte in a member drops ONLY that member: preceding
+    and following members (incl. the same doc's warcinfo/request)
+    survive, and the salvage count is reported."""
+    from gooselite.warc import read_warc, read_warc_salvage, write_warc
+
+    segs, expect = [], []
+    for i in range(6):
+        seg = write_warc([(f"https://e/d/{i}", f"payload {i}".encode())],
+                         gzip_records=True)
+        if i == 2:  # corrupt the RESPONSE member (last of the three)
+            from goose_spark.warcops import _member_spans
+
+            start, ln = _member_spans(seg)[-1]
+            b = bytearray(seg)
+            b[start + ln // 2] ^= 0xFF
+            seg = bytes(b)
+        else:
+            expect.append(i)
+        segs.append(seg)
+    recs, bad = read_warc_salvage(b"".join(segs))
+    got = [int(r.url.rsplit("/", 1)[1])
+           for r in recs if r.rec_type == "response"]
+    assert got == expect
+    assert bad >= 1
+    # a clean blob salvages with zero bad regions and full parity
+    clean = b"".join(write_warc([(f"https://e/d/{i}", b"x")],
+                                gzip_records=True) for i in range(3))
+    recs2, bad2 = read_warc_salvage(clean)
+    assert bad2 == 0
+    assert [r.rec_type for r in recs2] == [r.rec_type
+                                           for r in read_warc(clean)]
+    # plain (non-gzip) input: all-or-nothing like read_warc_safe
+    plain = write_warc([("https://e/d/9", b"y")], gzip_records=False)
+    recs3, bad3 = read_warc_salvage(plain)
+    assert bad3 == 0 and len(recs3) == 3
+    recs4, bad4 = read_warc_salvage(b"garbage")
+    assert recs4 == [] and bad4 == 1
