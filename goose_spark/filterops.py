@@ -475,17 +475,28 @@ def q_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         q_domain_cap_kept(spark, sf_dir).select("doc_id"),
         q_mix_sample(spark, sf_dir).filter("kept").select("doc_id"),
     ]
-    cum = [d]
-    for g in gates:
-        cum.append(cum[-1].join(g, "doc_id"))
-    counts = None
-    for stage, (name, c) in enumerate(zip(FUNNEL_STAGES, cum)):
-        row = c.agg(
-            F.lit(stage).cast("int").alias("stage"),
-            F.lit(name).alias("gate"),
-            F.count(F.lit(1)).alias("n_kept"))
-        counts = row if counts is None else counts.unionAll(row)
-    return counts
+    # SINGLE PASS: each gate joins once as a presence flag; the six
+    # survivor counts come out of ONE aggregate and unpivot via stack.
+    # (A per-stage chain of unioned count branches would re-execute
+    # every upstream gate's DAG once per downstream stage — Spark does
+    # not guarantee exchange reuse across unionAll branches.)
+    flags = d
+    for i, g in enumerate(gates, start=1):
+        flags = flags.join(g.withColumn(f"f{i}", F.lit(1)),
+                           "doc_id", "left")
+    aggs = [F.count(F.lit(1)).cast("long").alias("c0")]
+    cond = None
+    for i in range(1, len(FUNNEL_STAGES)):
+        this = F.col(f"f{i}").isNotNull()
+        cond = this if cond is None else (cond & this)
+        aggs.append(F.sum(F.when(cond, 1).otherwise(0))
+                    .cast("long").alias(f"c{i}"))
+    one = flags.agg(*aggs)
+    stack_args = ", ".join(
+        f"{i}, '{name}', c{i}" for i, name in enumerate(FUNNEL_STAGES))
+    return one.select(F.expr(
+        f"stack({len(FUNNEL_STAGES)}, {stack_args})"
+        " as (stage, gate, n_kept)"))
 
 
 def _oracle_corpus_funnel() -> str:

@@ -42,7 +42,9 @@ CREATE TABLE IF NOT EXISTS {catalog}.extracted (
   cleaned_text string, meta_description string, meta_keywords string,
   meta_lang string, canonical_link string, domain string,
   tags array<string>, movies array<string>, publish_date string,
-  top_image string, lang_fallback boolean, status string, err string,
+  top_image string, authors array<string>, opengraph array<string>,
+  links array<string>, markdown string,
+  lang_fallback boolean, status string, err string,
   bytes_in bigint, parse_ms double, partition_id int, bucket int
 ) USING iceberg
 PARTITIONED BY (bucket)

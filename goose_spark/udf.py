@@ -81,7 +81,7 @@ _OUT_COLS = [
     "url", "warc_ts", "lang", "title", "cleaned_text", "meta_description",
     "meta_keywords", "meta_lang", "canonical_link", "domain", "tags",
     "movies", "publish_date", "top_image", "authors", "opengraph", "links",
-    "lang_fallback",
+    "markdown", "lang_fallback",
     "status", "err", "bytes_in", "parse_ms", "partition_id", "bucket",
 ]
 

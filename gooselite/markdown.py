@@ -53,6 +53,10 @@ def _content_inline(el: Node) -> str:
 
 
 def _wrap_inline(el: Node) -> str:
+    # No surrounding padding: markers hug the content so punctuation
+    # adjacent to the element ("<code>f()</code>," / "(<i>x</i>)")
+    # keeps the canonical text's word/punctuation stream — source
+    # whitespace alone separates words, exactly as in the flat formatter
     t = el.tag
     if t in _SKIP:
         return ""
@@ -63,14 +67,14 @@ def _wrap_inline(el: Node) -> str:
     if not trimmed:
         return ""
     if t in _BOLD:
-        return f" **{trimmed}** "
+        return f"**{trimmed}**"
     if t in _ITALIC:
-        return f" *{trimmed}* "
+        return f"*{trimmed}*"
     if t == "code":
-        return f" `{trimmed}` "
+        return f"`{trimmed}`"
     if t == "a":
         href = (el.attrib or {}).get("href") or ""
-        return f" [{trimmed}]({href}) " if href else f" {trimmed} "
+        return f"[{trimmed}]({href})" if href else trimmed
     return inner  # transparent wrapper (span, u, time, ...)
 
 
@@ -121,8 +125,12 @@ def _block(el: Node) -> list[str]:
         inner = _blocks_of(el)
         if not inner:
             return []
-        return ["\n".join("> " + line
-                          for b in inner for line in b.split("\n"))]
+        # blank '>' line between inner blocks: consecutive '>' lines
+        # are lazy continuation of ONE paragraph in CommonMark, so
+        # without it separate paragraphs would render merged
+        quoted = ["\n".join("> " + line for line in b.split("\n"))
+                  for b in inner]
+        return ["\n>\n".join(quoted)]
     if t == "pre":
         raw = "".join(el.itertext()).strip("\n")
         return [f"```\n{raw}\n```"] if raw.strip() else []

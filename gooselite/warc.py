@@ -199,16 +199,35 @@ def read_warc_salvage(b) -> tuple:
     members are never affected — they are entered via the previous
     member's ``unused_data``, not by magic-scanning).
 
-    Plain (uncompressed) input has no member framing to salvage on:
-    it parses all-or-nothing like read_warc_safe.
+    Plain (uncompressed) input — recognized by its ``WARC/`` magic —
+    has no member framing to salvage on: it parses all-or-nothing like
+    read_warc_safe. Input that starts with NEITHER magic is treated as
+    a damaged leading region: parsing resyncs at the first gzip magic
+    (a flip in byte 0/1 must not discard the segment either). Any
+    buffer type accepted by ``bytes()`` works (memoryview included).
     """
-    data = bytes(b) if isinstance(b, (bytes, bytearray)) else b""
+    try:
+        data = bytes(b)
+    except TypeError:
+        return [], 1
     if data[:2] != b"\x1f\x8b":
-        recs = read_warc_safe(data)
-        return (recs or [], 0 if recs is not None else 1)
-    records: List[WarcRecord] = []
-    bad = 0
-    rest = data
+        # plain (uncompressed) WARC: all-or-nothing, nothing to salvage
+        if data[:5] == b"WARC/":
+            recs = read_warc_safe(data)
+            return (recs or [], 0 if recs is not None else 1)
+        # damaged LEADING region of a gzipped archive (e.g. a bit flip
+        # in the very first member's magic): resync forward like the
+        # mid-stream path instead of discarding the whole segment
+        nxt = data.find(b"\x1f\x8b\x08")
+        if nxt < 0:
+            return [], 1
+        rest = data[nxt:]
+        records: List[WarcRecord] = []
+        bad = 1
+    else:
+        rest = data
+        records = []
+        bad = 0
     while rest:
         if rest[:2] != b"\x1f\x8b":
             nxt = rest.find(b"\x1f\x8b\x08")

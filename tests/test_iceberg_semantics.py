@@ -102,3 +102,19 @@ def test_within_batch_duplicates_collapse(con):
     n1 = con.execute("SELECT COUNT(*) FROM checkpoint "
                      "WHERE run_id='r9' AND url='u1'").fetchone()[0]
     assert n1 == 1
+
+
+def test_extracted_ddl_matches_schema():
+    """The deploy DDL for the extracted table carries every column of
+    schema.EXTRACTED in order (drift here silently loses columns at
+    deploy time — the markdown/authors/opengraph/links surface once
+    lagged this way)."""
+    import re
+
+    from goose_spark.iceberg import DDL
+    from goose_spark.schema import EXTRACTED
+
+    body = DDL["extracted"].split("(", 1)[1].rsplit(")", 1)[0]
+    ddl_cols = [c.strip().split()[0]
+                for c in re.split(r",(?![^<]*>)", body) if c.strip()]
+    assert ddl_cols == [f.name for f in EXTRACTED.fields]

@@ -36,8 +36,16 @@ def test_unordered_and_ordered_lists():
 
 
 def test_blockquote_prefixes_every_block_line():
+    # a blank '>' line separates inner paragraphs (CommonMark lazy
+    # continuation would merge '> a\n> b' into one paragraph)
     out = _md("<body><blockquote><p>a</p><p>b</p></blockquote></body>")
-    assert out == "> a\n> b"
+    assert out == "> a\n>\n> b"
+
+
+def test_inline_markers_hug_punctuation():
+    out = _md("<body><p>Use <code>f()</code>, then <b>stop</b>. "
+              "Done (<i>really</i>)?</p></body>")
+    assert out == "Use `f()`, then **stop**. Done (*really*)?"
 
 
 def test_pre_fenced():

@@ -152,3 +152,12 @@ def test_salvage_drops_only_corrupt_members_and_counts():
     assert bad3 == 0 and len(recs3) == 3
     recs4, bad4 = read_warc_salvage(b"garbage")
     assert recs4 == [] and bad4 == 1
+    # a flip in the FIRST member's gzip magic loses only that member
+    head_hit = bytearray(clean)
+    head_hit[0] ^= 0xFF
+    recs5, bad5 = read_warc_salvage(bytes(head_hit))
+    # only the first member (warcinfo) is lost; resync recovers the rest
+    assert len(recs5) == len(recs2) - 1 and bad5 >= 1
+    # memoryview input parses identically to bytes
+    recs6, bad6 = read_warc_salvage(memoryview(clean))
+    assert len(recs6) == len(recs2) and bad6 == 0
