@@ -109,17 +109,31 @@ def main() -> None:
     hist_best = _HISTORICAL_BEST_S.get(round(sf, 4))
     runs: list[float] = []
     row = None
+    settle = 0.0
+    loop_t0 = time.perf_counter()
     # attempt cap 6 (was 4): the 300 s time budget is the real guard;
     # a noisy epoch with 30-50 s passes deserves the extra chances
     # (observed [54, 104, 38, 29] stopping at the old attempt cap with
     # 76 s of budget left and the window visibly improving)
-    while len(runs) < 6 and sum(runs) < 300:  # cap total retry budget
+    while len(runs) < 6 and sum(runs) < 300 \
+            and time.perf_counter() - loop_t0 < 480:
         t, r = _extract_pass()
         runs.append(t)
         row = r if row is None else row
         if len(runs) >= 2 and sorted(runs)[1] <= sorted(runs)[0] * 1.2:
             if hist_best is None or min(runs) <= hist_best * 1.5:
                 break
+        # governor-aware spacing: back-to-back 32-thread attempts keep
+        # the load governor engaged, so a hot epoch records 3-5 slow
+        # passes in a row ([94.9, 88.5, 65.2, ...] on code whose quiet
+        # time is 19 s) while the single-core calibration looks normal
+        # — only TIME heals it. When a pass lands far off the recorded
+        # best, let the box settle before the next attempt; the sleep
+        # is recorded, never timed.
+        if hist_best is not None and t > hist_best * 3 and len(runs) < 6:
+            time.sleep(45)
+            settle += 45
+    extras["intra_settle_s"] = settle
     timings["q_extract"] = min(runs)
     extras["q_extract_runs"] = [round(t, 3) for t in runs]
     extras["precooldown_s"] = round(precool, 1)
