@@ -192,6 +192,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # outlink extraction: real DOM parse + urljoin, edge set
         # oracle-proven identical to q_pagerank's planted graph
         "q_link_extract": CO.q_link_extract,
+        # host-level rollup (new r4-late): the per-source quality-prior
+        # table (volume, dup pressure, gate pass rate, lang diversity)
+        "q_host_stats": CO.q_host_stats,
         # unicode NFC normalization (late r4): Python unicodedata vs
         # DuckDB utf8proc — two independent NFC implementations gated
         "q_unicode_nfc": EN.q_unicode_nfc,
@@ -224,8 +227,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Part B relational probes (SURVEY.md §2.6) — one shuffle-join
         # and the pandas-UDAF shape stay graded as anchors
         "q_equi_join_3way": Q.q_equi_join_3way,
-        "q_grouped_agg": Q.q_grouped_agg,
         # ---------------- TAIL (beyond the driver's 50-cap) ----------
+        # rotated late r4 for q_host_stats: the pandas-UDAF shape stays
+        # plan-tested + L3-conformed; q_equi_join_3way remains the
+        # in-window Part-B anchor
+        "q_grouped_agg": Q.q_grouped_agg,
         # Long-stable Part-B probes: oracle-green r1/r2/r3 and still
         # asserted cross-engine by tests/test_relational_probes.py; the
         # rows-only entries lose nothing by being ungraded.
@@ -368,6 +374,7 @@ def oracle_sql() -> dict[str, str]:
         "q_crawl_schedule": RB.ORACLE_CRAWL_SCHEDULE,
         "q_corpus_funnel": FL.ORACLE_CORPUS_FUNNEL,
         "q_warc_salvage": W.ORACLE_WARC_SALVAGE,
+        "q_host_stats": CO.ORACLE_HOST_STATS,
         "q_pii_redact": FL.ORACLE_PII_REDACT,
         "q_repetition_filter": FL.ORACLE_REPETITION_FILTER,
         "q_domain_cap": FL.ORACLE_DOMAIN_CAP,

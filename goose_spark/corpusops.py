@@ -429,3 +429,82 @@ FROM edges GROUP BY dst_url
 
 
 ORACLE_ANCHOR_TEXT = _oracle_anchor_text()
+
+
+# ---------------------------------------------------- host-level stats --
+# The per-host (per-source) rollup a crawl pipeline keeps as its
+# "source prior": document and token volume, exact-duplicate pressure,
+# quality-gate pass rate, language diversity, and size extremes. Whole
+# domains get boosted or cut on this table — it is the aggregation
+# level above q_domain_cap's per-document decisions.
+#
+# Scale shape: per-doc features are projections; the duplicate flag
+# joins the 16-byte md5-count aggregate back on its own key (same
+# discipline as q_dedup_exact); the gopher verdict REUSES the probe
+# operator; the final aggregate is ONE source-keyed hash agg with
+# map-side combine. Hosts are numerous and bounded — no skew concern
+# at the source key beyond what AQE handles.
+
+
+def q_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from goose_spark.textops import q_gopher_rules
+
+    d = load(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+    base = d.select(
+        "doc_id", "source", "lang", toks.alias("n_tokens"),
+        F.md5(F.col("text").cast("binary")).alias("th"))
+    counts = base.groupBy("th").agg(
+        F.count(F.lit(1)).alias("n_copies"),
+        F.min("doc_id").alias("keep_id"))
+    flagged = base.join(counts, "th").select(
+        "doc_id", "source", "lang", "n_tokens",
+        ((F.col("n_copies") > 1) & (F.col("doc_id") != F.col("keep_id")))
+        .alias("is_dup"))
+    g = q_gopher_rules(spark, sf_dir).select(
+        "doc_id", F.col("passes").alias("gopher_ok"))
+    j = flagged.join(g, "doc_id")
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum(F.when(F.col("is_dup"), 1).otherwise(0))
+        .cast("long").alias("dup_docs"),
+        F.sum(F.when(F.col("gopher_ok"), 1).otherwise(0))
+        .cast("long").alias("gopher_pass"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.max("n_tokens").alias("max_tokens"),
+        F.min("n_tokens").alias("min_tokens"),
+    )
+
+
+def _oracle_host_stats() -> str:
+    from goose_spark.textops import ORACLE_GOPHER_RULES
+
+    return f"""
+WITH gq AS ({ORACLE_GOPHER_RULES}),
+base AS (
+  SELECT doc_id, source, lang,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+             AS n_tokens,
+         md5(text) AS th
+  FROM documents),
+c AS (SELECT th, COUNT(*) AS n_copies, MIN(doc_id) AS keep_id
+      FROM base GROUP BY th),
+f AS (SELECT base.*, (c.n_copies > 1 AND base.doc_id <> c.keep_id)
+             AS is_dup
+      FROM base JOIN c USING (th)),
+j AS (SELECT f.*, gq.passes AS gopher_ok FROM f JOIN gq USING (doc_id))
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS dup_docs,
+       CAST(SUM(CASE WHEN gopher_ok THEN 1 ELSE 0 END) AS BIGINT)
+           AS gopher_pass,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+       MAX(n_tokens) AS max_tokens,
+       MIN(n_tokens) AS min_tokens
+FROM j GROUP BY source
+"""
+
+
+ORACLE_HOST_STATS = _oracle_host_stats()
