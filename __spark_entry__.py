@@ -8,9 +8,9 @@ value-hash → CORRECTNESS_r{N}.json).
 Probe inventory ↔ SURVEY.md §2.6 Part B + the training-data operators
 (dedup / similarity / text analysis / ingestion / modality / filters).
 Rows-only probes (no oracle entry): q_udf_extract (B17),
-q_approx_distinct (B9), q_multimodal_stub, q_stateful_running_max,
+q_approx_distinct (B9), q_multimodal_stub,
 q_decontaminate_hashed — non-SQL-expressible by nature
-(HLL/stub/stream-state/xxhash64 keys); each has a pytest asserting
+(HLL/stub/xxhash64 keys); each has a pytest asserting
 semantics instead. q_lang_id and q_ann_lsh_buckets graduated to
 oracle-backed in r3 (table-embedded SQL twin; exact-integer bucketing);
 q_minhash_pairs, q_simhash, and q_simhash_pairs graduated in r4
@@ -92,6 +92,12 @@ def _q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q_stream_dedup(spark, sf_dir)
 
 
+def _q_stream_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from goose_spark.streaming import q_stream_extract
+
+    return q_stream_extract(spark, sf_dir)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     from goose_spark import ann as A
@@ -133,11 +139,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_embed_neardup": A.q_embed_neardup,
         "q_ann_ivf": A.q_ann_ivf,
         "q_ann_ivf_probe": A.q_ann_ivf_probe,
-        # streaming (B19): watermark + tumbling window, availableNow drain
-        "q_stream_window": _q_stream_window,
+        # streaming × extraction (new r4-late): the batch kernel on a
+        # file stream, availableNow drain — same closed-form oracle as
+        # q_warc_extract, so streaming must not change a byte
+        "q_stream_extract": _q_stream_extract,
         # gap-based session windows (oracle: gaps-and-islands rewrite)
         "q_stream_sessions": _q_stream_sessions,
-        # custom stateful operator via applyInPandasWithState (rows-only)
+        # custom stateful operator via applyInPandasWithState —
+        # GRADUATED late r4: single-file staging => one availableNow
+        # micro-batch => the appended state row is the per-user total
         "q_stateful_running_max": _q_stateful_running_max,
         # streaming dedup: doubled source, dropDuplicates within watermark
         "q_stream_dedup": _q_stream_dedup,
@@ -232,6 +242,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # plan-tested + L3-conformed; q_equi_join_3way remains the
         # in-window Part-B anchor
         "q_grouped_agg": Q.q_grouped_agg,
+        # rotated late r4 for q_stream_extract: complete-mode window demo,
+        # oracle-green r2; the production append-mode twin stays graded
+        "q_stream_window": _q_stream_window,
         # Long-stable Part-B probes: oracle-green r1/r2/r3 and still
         # asserted cross-engine by tests/test_relational_probes.py; the
         # rows-only entries lose nothing by being ungraded.
@@ -316,6 +329,7 @@ def oracle_sql() -> dict[str, str]:
     from goose_spark import warcops as W
     from goose_spark import queries as Q
     from goose_spark import robotsops as RB
+    from goose_spark import streaming as SM
     from goose_spark import structops as ST
     from goose_spark import textops as T
     from goose_spark import videoops as V
@@ -375,6 +389,8 @@ def oracle_sql() -> dict[str, str]:
         "q_corpus_funnel": FL.ORACLE_CORPUS_FUNNEL,
         "q_warc_salvage": W.ORACLE_WARC_SALVAGE,
         "q_host_stats": CO.ORACLE_HOST_STATS,
+        "q_stateful_running_max": SM.ORACLE_STATEFUL_RUNNING_MAX,
+        "q_stream_extract": W.ORACLE_WARC_EXTRACT,
         "q_pii_redact": FL.ORACLE_PII_REDACT,
         "q_repetition_filter": FL.ORACLE_REPETITION_FILTER,
         "q_domain_cap": FL.ORACLE_DOMAIN_CAP,

@@ -275,7 +275,7 @@ GROUP BY user_id, session_id
 
 # ---- custom stateful operator: applyInPandasWithState ----------------------
 def q_stateful_running_max(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Custom stateful streaming operator (rows-only probe): per-user
+    """Custom stateful streaming operator (oracle-backed late r4): per-user
     running event-count and max value maintained in GroupState via
     ``applyInPandasWithState`` — the escape hatch for stateful semantics
     the built-in windows can't express (SURVEY.md task brief: custom
@@ -385,3 +385,55 @@ SELECT event_type,
 FROM events
 GROUP BY event_type
 """
+
+
+# q_stateful_running_max GRADUATED from rows-only (late r4): the staged
+# source is ONE parquet file, so availableNow runs exactly one
+# micro-batch and the appended per-user state row IS the per-user
+# total — SQL-expressible. COUNT is exact int64; MAX does no float
+# arithmetic, so the double survives both engines bit-identically.
+ORACLE_STATEFUL_RUNNING_MAX = """
+SELECT user_id, COUNT(*) AS n_events, MAX(value) AS max_value
+FROM events GROUP BY user_id
+"""
+
+
+# ------------------------------------------------- streaming extraction --
+def _docs_stream_dir(sf_dir: str) -> str:
+    """Stage documents.parquet into a dir for the file stream source."""
+    tag = hashlib.md5((sf_dir + ":docs").encode()).hexdigest()[:12]
+    d = f"/tmp/goose_stream_docs_{tag}"
+    dst = os.path.join(d, "documents.parquet")
+    src = os.path.join(sf_dir, "documents.parquet")
+    if not os.path.exists(dst) or os.path.getmtime(dst) < os.path.getmtime(src):
+        os.makedirs(d, exist_ok=True)
+        shutil.copy2(src, dst)
+    return d
+
+
+def q_stream_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingestion × the extraction chain: the SAME kernel the
+    batch probe q_warc_extract runs (page synth → WARC container →
+    parse → full gooselite extraction) applied to a file STREAM via a
+    stateless mapInPandas, drained with availableNow — the continuous-
+    crawl deploy shape (new WARC segments land in a directory, the
+    stream extracts them incrementally with checkpointed source
+    offsets). Oracle = the batch probe's closed-form twin: streaming
+    must change NOTHING about the per-document bytes."""
+    from goose_spark.warcops import _extract_batches
+
+    batch_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    src = (
+        spark.readStream.schema(batch_schema)
+        .parquet(_docs_stream_dir(sf_dir))
+        .select("doc_id", "text"))
+    out = src.mapInPandas(
+        _extract_batches,
+        schema="doc_id long, title string, text_norm string, status string")
+    sink = f"stream_extract_{uuid.uuid4().hex[:8]}"
+    q = (out.writeStream.format("memory").queryName(sink)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    res = spark.table(sink).localCheckpoint()
+    spark.catalog.dropTempView(sink)
+    return res
