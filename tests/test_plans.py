@@ -321,3 +321,30 @@ def test_substring_dedup_plan_shape(spark):
     read_schema = plan.split("ReadSchema")[1][:300]
     assert "doc_id" in read_schema and "text" in read_schema
     assert "n_chars" not in read_schema
+
+
+def test_corpus_funnel_single_pass(spark):
+    """The funnel must stay ONE aggregate over flag joins — a per-stage
+    union of count branches re-executes every upstream gate's DAG
+    (review finding, late r4)."""
+    from goose_spark import filterops as FL
+
+    plan = _plan(FL.q_corpus_funnel(spark, SF))
+    tree = plan.split("\n\n")[0]
+    assert "Union" not in tree          # no per-stage count branches
+    assert "Generate" in tree           # the stack() unpivot
+    # each gate's scan appears once per gate, not once per stage:
+    # documents is read by base + 5 gates = bounded, never 6 * stages
+    assert tree.count("Scan parquet") <= 12
+
+
+def test_host_stats_one_source_agg(spark):
+    from goose_spark import corpusops as CO
+
+    plan = _plan(CO.q_host_stats(spark, SF))
+    tree = plan.split("\n\n")[0]
+    assert "EvalPython" not in plan
+    # countDistinct expands to a two-phase agg; beyond that the plan
+    # must stay hash aggregates + the md5-count join, no nested loops
+    assert "CartesianProduct" not in tree
+    assert "HashAggregate" in tree
