@@ -178,9 +178,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_simhash": T.q_simhash,
         "q_simhash_pairs": T.q_simhash_pairs,
         "q_lang_id": T.q_lang_id,
-        # BPE merge-pair mining (late r4): the tokenizer-training
-        # statistic — one iteration's pair counts over the vocab
-        "q_bpe_merge": T.q_bpe_merge,
+        # BPE trainer loop (new r4-last): THREE true merge rounds —
+        # count pairs -> argmax -> merge everywhere -> recount on the
+        # merged vocab; round 2 is mined on round 1's output, which a
+        # single pair-count (q_bpe_merge, rotated to tail) can't express
+        "q_bpe_train": T.q_bpe_train,
         # structured-data harvesting (late r4): JSON-LD article
         # metadata (script payload retained via keep_raw_text opt-in,
         # decoy-script dispatch, JSON round-trip) and web tables
@@ -245,6 +247,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rotated late r4 for q_stream_extract: complete-mode window demo,
         # oracle-green r2; the production append-mode twin stays graded
         "q_stream_window": _q_stream_window,
+        # rotated late r4 for q_bpe_train (which re-derives this probe's
+        # round-1 argmax as its rank-1 row); still L3-conformed
+        "q_bpe_merge": T.q_bpe_merge,
         # Long-stable Part-B probes: oracle-green r1/r2/r3 and still
         # asserted cross-engine by tests/test_relational_probes.py; the
         # rows-only entries lose nothing by being ungraded.
@@ -391,6 +396,7 @@ def oracle_sql() -> dict[str, str]:
         "q_host_stats": CO.ORACLE_HOST_STATS,
         "q_stateful_running_max": SM.ORACLE_STATEFUL_RUNNING_MAX,
         "q_stream_extract": W.ORACLE_WARC_EXTRACT,
+        "q_bpe_train": T.ORACLE_BPE_TRAIN,
         "q_pii_redact": FL.ORACLE_PII_REDACT,
         "q_repetition_filter": FL.ORACLE_REPETITION_FILTER,
         "q_domain_cap": FL.ORACLE_DOMAIN_CAP,

@@ -1411,3 +1411,94 @@ FROM t LEFT JOIN (
          string_agg(tv, ' ' ORDER BY pos) AS body
   FROM kept GROUP BY doc_id) k USING (doc_id)
 """
+
+
+# ------------------------------------------------------ BPE trainer loop --
+# The real tokenizer-training inner loop, distributed: count adjacent
+# symbol pairs -> take the argmax pair -> merge it everywhere -> recount
+# on the merged vocabulary, BPE_ROUNDS times. q_bpe_merge mines ONE
+# round's statistic; this probe runs the actual iteration, so round 2's
+# winner is computed on a vocabulary where round 1's merge already
+# happened (the part a single pair-count cannot express).
+#
+# Symbol-exactness: each learned pair is replaced by ONE private-use
+# character (U+E000+r), so later rounds can never match across a merged
+# symbol's boundary — chained string replace() is then exactly
+# symbol-level BPE merge application (both engines replace all
+# occurrences left-to-right, non-overlapping; pinned by pytest on
+# overlap-tricky words).
+#
+# Scale shape per round: one (word, freq) vocabulary aggregate (the only
+# corpus-sized shuffle happens ONCE, before round 1), then a pair
+# histogram bounded by |alphabet + merges|^2 with map-side combine, and
+# a 1-row argmax collect (the merge TABLE is the model — at 10^12 docs
+# the per-round driver traffic is one pair string, the same O(1)
+# pattern as components.py's convergence check).
+BPE_ROUNDS = 3
+_BPE_MERGE_CHAR_BASE = 0xE000
+
+
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three true BPE rounds over the corpus vocabulary: one row per
+    learned merge with its count and the total symbol count AFTER
+    applying it."""
+    from goose_spark.filterops import _WORDS
+
+    d = load(spark, sf_dir, "documents")
+    vocab = (
+        d.select(F.explode(F.expr(_WORDS)).alias("w"))
+        .groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+        .localCheckpoint())  # the one corpus-sized pass; rounds reuse it
+    rows = []
+    for r in range(1, BPE_ROUNDS + 1):
+        pairs = vocab.select(
+            "freq",
+            F.explode(F.expr(
+                "CASE WHEN length(w) < 2 THEN array()"
+                " ELSE transform(sequence(1, length(w) - 1),"
+                " i -> substr(w, i, 2)) END")).alias("pair"))
+        top = (pairs.groupBy("pair").agg(F.sum("freq").alias("n_pair"))
+               .orderBy(F.desc("n_pair"), "pair").limit(1).collect()[0])
+        mark = chr(_BPE_MERGE_CHAR_BASE + r - 1)
+        vocab = vocab.select(
+            F.expr(f"replace(w, '{top['pair']}', '{mark}')").alias("w"),
+            "freq").localCheckpoint()
+        total = vocab.select(
+            F.sum(F.length("w") * F.col("freq")).alias("t")
+        ).collect()[0]["t"]
+        rows.append((r, top["pair"], int(top["n_pair"]), int(total)))
+    return spark.createDataFrame(
+        rows, "rank int, pair string, n_pair long, total_symbols long")
+
+
+def _oracle_bpe_train() -> str:
+    rounds = ["""
+w0 AS (
+  SELECT u.w, COUNT(*) AS freq
+  FROM (SELECT string_split_regex(lower(trim(text)), '\\s+') AS ws
+        FROM documents) t,
+       unnest(t.ws) AS u(w)
+  GROUP BY u.w)"""]
+    sel = []
+    for r in range(1, BPE_ROUNDS + 1):
+        mark = _BPE_MERGE_CHAR_BASE + r - 1
+        rounds.append(f"""
+p{r} AS (
+  SELECT substr(w, i, 2) AS pair, SUM(freq) AS n_pair
+  FROM (SELECT w, freq,
+               unnest(generate_series(1, greatest(length(w) - 1, 0))) AS i
+        FROM w{r - 1}) x
+  GROUP BY 1),
+m{r} AS (SELECT pair, n_pair FROM p{r}
+         ORDER BY n_pair DESC, pair LIMIT 1),
+w{r} AS (SELECT replace(w, (SELECT pair FROM m{r}), chr({mark})) AS w,
+                freq
+         FROM w{r - 1})""")
+        sel.append(
+            f"SELECT {r} AS rank, pair, CAST(n_pair AS BIGINT) AS n_pair,"
+            f" (SELECT CAST(SUM(length(w) * freq) AS BIGINT) FROM w{r})"
+            f" AS total_symbols FROM m{r}")
+    return "WITH " + ",".join(rounds) + "\n" + "\nUNION ALL\n".join(sel)
+
+
+ORACLE_BPE_TRAIN = _oracle_bpe_train()

@@ -488,3 +488,29 @@ def test_substring_clean_removes_exactly_the_planted_span(spark):
     # doc 3: untouched, byte-identical
     assert got[3].kept_tokens == 40
     assert got[3].clean_md5 == md5(uniq)
+
+
+def test_bpe_train_overlap_replace_semantics(spark):
+    """Chained replace() must equal symbol-level BPE merge application:
+    overlapping occurrences collapse left-to-right non-overlapping
+    ('aaa' + merge 'aa' -> mark+'a', i.e. 2 symbols not 1), and later
+    rounds never match across a merged symbol's boundary."""
+    import tempfile
+
+    from goose_spark.textops import _BPE_MERGE_CHAR_BASE, q_bpe_train
+
+    # vocab engineered so round 1 learns 'aa' and round 2 must NOT
+    # find 'ab' inside the replaced region ('aab' -> mark1+'b')
+    rows = [(i, "aaa aab aaa aab ba") for i in range(30)]
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(rows, "doc_id long, text string") \
+            .write.parquet(td + "/documents.parquet")
+        got = {r.rank: r for r in q_bpe_train(spark, td).collect()}
+    assert got[1].pair == "aa"
+    # after merging 'aa': words are mark+'a', mark+'b', 'ba'
+    # (5 tokens/doc * 30 docs; 'aaa'=2 symbols, 'aab'=2, 'ba'=2)
+    assert got[1].total_symbols == 30 * (2 + 2 + 2 + 2 + 2)
+    mark1 = chr(_BPE_MERGE_CHAR_BASE)
+    # round 2 mines the MERGED vocab: candidates are mark1+'a',
+    # mark1+'b', 'ba' (each 60 occ except ba=30... all tie at 60,60,30)
+    assert got[2].pair in (mark1 + "a", mark1 + "b")
