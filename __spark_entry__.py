@@ -159,6 +159,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_repetition_filter": FL.q_repetition_filter,
         # hashed-linear quality classifier inference (late r4)
         "q_quality_classifier": FL.q_quality_classifier,
+        # distributed model TRAINING (new r4-last): batch perceptron,
+        # integer weights, 3 unrolled epochs — one D-int aggregate per
+        # epoch, weights broadcast as literals (1-row parameter server)
+        "q_perceptron_train": FL.q_perceptron_train,
         "q_domain_cap_kept": FL.q_domain_cap_kept,
         "q_decontaminate": FL.q_decontaminate,
         # training-data ops: dedup / text analysis
@@ -191,10 +195,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # corpus statistics (r4): keyword extraction + length profiling
         "q_tfidf_top_terms": T.q_tfidf_top_terms,
         "q_length_quantiles": T.q_length_quantiles,
-        # sketch-accuracy audit: signature-estimated vs exact Jaccard
-        # over the LSH candidate pairs (moved into the window in late
-        # r4 — registered after the r3 grading run, never graded)
-        "q_minhash_est_vs_exact": T.q_minhash_est_vs_exact,
+
         # corpus maintenance (late r4): paragraph-level boilerplate
         # dedup, mixture sampling, crawl-snapshot delta, collocations
         "q_paragraph_dedup": CO.q_paragraph_dedup,
@@ -250,6 +251,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rotated late r4 for q_bpe_train (which re-derives this probe's
         # round-1 argmax as its rank-1 row); still L3-conformed
         "q_bpe_merge": T.q_bpe_merge,
+        # rotated late r4 for q_perceptron_train: an accuracy AUDIT of
+        # the minhash sketch rather than an operator; its tracking
+        # property is pytest-pinned and L3 re-conforms it every run
+        "q_minhash_est_vs_exact": T.q_minhash_est_vs_exact,
         # Long-stable Part-B probes: oracle-green r1/r2/r3 and still
         # asserted cross-engine by tests/test_relational_probes.py; the
         # rows-only entries lose nothing by being ungraded.
@@ -397,6 +402,7 @@ def oracle_sql() -> dict[str, str]:
         "q_stateful_running_max": SM.ORACLE_STATEFUL_RUNNING_MAX,
         "q_stream_extract": W.ORACLE_WARC_EXTRACT,
         "q_bpe_train": T.ORACLE_BPE_TRAIN,
+        "q_perceptron_train": FL.ORACLE_PERCEPTRON_TRAIN,
         "q_pii_redact": FL.ORACLE_PII_REDACT,
         "q_repetition_filter": FL.ORACLE_REPETITION_FILTER,
         "q_domain_cap": FL.ORACLE_DOMAIN_CAP,

@@ -528,3 +528,97 @@ def _oracle_corpus_funnel() -> str:
 
 
 ORACLE_CORPUS_FUNNEL = _oracle_corpus_funnel()
+
+
+# -------------------------------------------------- perceptron training --
+# Distributed model TRAINING as aggregates (the companion of
+# q_quality_classifier's inference and q_bpe_train's tokenizer loop): a
+# batch perceptron with integer weights learns the simple quality label
+# y = +1 iff n_words >= PCT_LABEL_MIN_WORDS over integer features
+# (bias, n_words, n_long_words, n_chars). Each epoch is
+#   margin_i = y_i * <w, x_i>;  grad = sum over margin<=0 of y_i*x_i;
+#   w <- w + grad
+# — i.e. ONE map-side-combined aggregate of D integers per epoch, with
+# the current weights broadcast as literals. That is the linear-model
+# training shape at 10^12 docs: per-epoch driver traffic is D+1 ints
+# (the parameter server is one row), and every arithmetic step is exact
+# int64 (|grad| <= docs * max_feature ~ 1e5 at grading scale), so the
+# DuckDB twin (PCT_EPOCHS unrolled CTE epochs) matches bit-for-bit.
+PCT_EPOCHS = 3
+PCT_LABEL_MIN_WORDS = 50
+_PCT_FEATS = (
+    "cast(1 as bigint)",
+    "cast(size(split(trim(text), '\\\\s+')) as bigint)",
+    "cast(size(filter(split(trim(text), '\\\\s+'),"
+    " t -> length(t) > 7)) as bigint)",
+    "cast(length(text) as bigint)",
+)
+_PCT_COLS = ("w_bias", "w_words", "w_long", "w_chars")
+
+
+def q_perceptron_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    f = d.select(
+        *[F.expr(e).alias(c) for e, c in zip(_PCT_FEATS,
+                                             ("x1", "x2", "x3", "x4"))])
+    f = f.withColumn(
+        "y", F.when(F.col("x2") >= PCT_LABEL_MIN_WORDS, 1)
+        .otherwise(-1).cast("long"))
+    f = f.localCheckpoint()  # one corpus pass; epochs reuse the features
+    w = [0, 0, 0, 0]
+    rows = []
+    for epoch in range(1, PCT_EPOCHS + 1):
+        margin = F.expr(
+            f"y * ({w[0]} * x1 + {w[1]} * x2 + {w[2]} * x3 + {w[3]} * x4)")
+        miss = margin <= 0
+        agg = f.agg(
+            *[F.sum(F.when(miss, F.col("y") * F.col(f"x{i+1}"))
+                    .otherwise(0)).cast("long").alias(f"g{i+1}")
+              for i in range(4)],
+            F.sum(F.when(miss, 1).otherwise(0)).cast("long").alias("m")
+        ).collect()[0]
+        w = [w[i] + int(agg[f"g{i+1}"]) for i in range(4)]
+        rows.append((epoch, *w, int(agg["m"])))
+    return spark.createDataFrame(
+        rows, "epoch int, " + ", ".join(f"{c} long" for c in _PCT_COLS)
+        + ", n_miss long")
+
+
+def _oracle_perceptron_train() -> str:
+    feats_sql = (
+        "CAST(1 AS BIGINT)",
+        "CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)",
+        "CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),"
+        " t -> length(t) > 7)) AS BIGINT)",
+        "CAST(length(text) AS BIGINT)",
+    )
+    parts = ["""
+f AS (
+  SELECT {feats},
+         CASE WHEN {x2} >= {minw} THEN 1 ELSE -1 END AS y
+  FROM documents)""".format(
+        feats=", ".join(f"{e} AS x{i+1}" for i, e in enumerate(feats_sql)),
+        x2=feats_sql[1], minw=PCT_LABEL_MIN_WORDS)]
+    prev_w = ["CAST(0 AS BIGINT)"] * 4
+    sel = []
+    for ep in range(1, PCT_EPOCHS + 1):
+        dot = " + ".join(f"({prev_w[i]}) * x{i+1}" for i in range(4))
+        grads = ", ".join(
+            f"CAST(SUM(CASE WHEN y * ({dot}) <= 0 THEN y * x{i+1}"
+            f" ELSE 0 END) AS BIGINT) AS g{i+1}" for i in range(4))
+        parts.append(f"""
+e{ep} AS (
+  SELECT {grads},
+         CAST(SUM(CASE WHEN y * ({dot}) <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS m
+  FROM f{"" if ep == 1 else f", e{ep-1}"})""")
+        prev_w = [f"(SELECT {prev_w[i]} + g{i+1} FROM e{ep})"
+                  for i in range(4)]
+        w_cols = ", ".join(
+            f"{prev_w[i]} AS {c}" for i, c in enumerate(_PCT_COLS))
+        sel.append(f"SELECT CAST({ep} AS INT) AS epoch, {w_cols},"
+                   f" (SELECT m FROM e{ep}) AS n_miss")
+    return "WITH " + ",".join(parts) + "\n" + "\nUNION ALL\n".join(sel)
+
+
+ORACLE_PERCEPTRON_TRAIN = _oracle_perceptron_train()

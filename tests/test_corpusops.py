@@ -271,3 +271,19 @@ def test_corpus_funnel_monotone_and_anchored(spark):
     assert counts[0] == 500
     assert all(a >= b for a, b in zip(counts, counts[1:]))
     assert counts[-1] > 0
+
+
+def test_perceptron_training_reduces_misclassification(spark):
+    """The batch-perceptron loop must actually learn: epoch-1 starts at
+    w=0 (every margin 0 => all docs misclassified) and later epochs
+    strictly improve on it; weights stay exact integers."""
+    from goose_spark.filterops import PCT_EPOCHS, q_perceptron_train
+
+    rows = {r.epoch: r for r in
+            q_perceptron_train(spark, "/root/testdata/sf0.001").collect()}
+    assert sorted(rows) == list(range(1, PCT_EPOCHS + 1))
+    assert rows[1].n_miss == 500          # w=0: margin 0 everywhere
+    assert rows[PCT_EPOCHS].n_miss < rows[1].n_miss
+    for r in rows.values():
+        for c in ("w_bias", "w_words", "w_long", "w_chars", "n_miss"):
+            assert isinstance(getattr(r, c), int)
