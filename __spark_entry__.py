@@ -199,7 +199,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # corpus maintenance (late r4): paragraph-level boilerplate
         # dedup, mixture sampling, crawl-snapshot delta, collocations
         "q_paragraph_dedup": CO.q_paragraph_dedup,
-        "q_mix_sample": CO.q_mix_sample,
         "q_crawl_delta": CO.q_crawl_delta,
         "q_pmi_bigrams": CO.q_pmi_bigrams,
         # outlink extraction: real DOM parse + urljoin, edge set
@@ -231,6 +230,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # politeness — real XML synth per host, minidom parse back,
         # closed-form oracle incl. entry order
         "q_sitemap_parse": RB.q_sitemap_parse,
+        # crawl-side funnel (new r4-last): discovery -> robots ->
+        # seen-set -> first politeness batch, single-pass like the
+        # corpus funnel
+        "q_crawl_funnel": RB.q_crawl_funnel,
         # politeness-aware frontier scheduling: per-host slots × the
         # host's crawl delay (new r4-late)
         "q_crawl_schedule": RB.q_crawl_schedule,
@@ -255,6 +258,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the minhash sketch rather than an operator; its tracking
         # property is pytest-pinned and L3 re-conforms it every run
         "q_minhash_est_vs_exact": T.q_minhash_est_vs_exact,
+        # rotated late r4 for q_crawl_funnel: kept-count pinned by the
+        # corpus funnel's stage-5 hash gate; full per-row compare still
+        # L3-conformed every pytest run
+        "q_mix_sample": CO.q_mix_sample,
         # Long-stable Part-B probes: oracle-green r1/r2/r3 and still
         # asserted cross-engine by tests/test_relational_probes.py; the
         # rows-only entries lose nothing by being ungraded.
@@ -403,6 +410,7 @@ def oracle_sql() -> dict[str, str]:
         "q_stream_extract": W.ORACLE_WARC_EXTRACT,
         "q_bpe_train": T.ORACLE_BPE_TRAIN,
         "q_perceptron_train": FL.ORACLE_PERCEPTRON_TRAIN,
+        "q_crawl_funnel": RB.ORACLE_CRAWL_FUNNEL,
         "q_pii_redact": FL.ORACLE_PII_REDACT,
         "q_repetition_filter": FL.ORACLE_REPETITION_FILTER,
         "q_domain_cap": FL.ORACLE_DOMAIN_CAP,

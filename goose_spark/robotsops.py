@@ -235,3 +235,73 @@ SELECT source, doc_id, priority,
            AS fetch_offset_s
 FROM d
 """
+
+
+# --------------------------------------------------------- crawl funnel --
+# The crawl-side twin of filterops.q_corpus_funnel: every gate between
+# URL discovery and an actual fetch, composed in execution order with
+# survivor counts — discovered urls -> robots-allowed (q_robots_gate's
+# real RFC 9309 evaluator) -> not already fetched (the exact seen-set
+# the Bloom gate pre-filters for) -> due in the first politeness batch
+# (q_crawl_schedule's slot 0). Same single-pass discipline as the
+# corpus funnel: per-gate presence/verdict flags join once, ONE
+# aggregate, stack() unpivot.
+CRAWL_FUNNEL_STAGES = ("discovered", "robots_allowed", "not_seen",
+                       "first_batch")
+
+
+def q_crawl_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    robots = q_robots_gate(spark, sf_dir).select("doc_id", "allowed")
+    sched = q_crawl_schedule(spark, sf_dir).select("doc_id", "slot")
+    flags = (
+        d.join(robots, "doc_id")
+        .join(sched, "doc_id")
+        .select(
+            "doc_id",
+            F.col("allowed").alias("f1"),
+            # exact seen-set (checkpoint semantics; the approximate
+            # Bloom pre-filter for such sets is graded separately by
+            # textops.q_bloom_dedup). Residue 5 is coprime to the six
+            # robots scenario classes, so this gate actually intersects
+            # the allowed set — %3 would alias with the mod-6 classes
+            # and drop nothing
+            (~(F.col("doc_id") % 5 == 2)).alias("f2"),
+            (F.col("slot") == 0).alias("f3")))
+    agg = flags.agg(
+        F.count(F.lit(1)).cast("long").alias("c0"),
+        F.sum(F.when(F.col("f1"), 1).otherwise(0))
+        .cast("long").alias("c1"),
+        F.sum(F.when(F.col("f1") & F.col("f2"), 1).otherwise(0))
+        .cast("long").alias("c2"),
+        F.sum(F.when(F.col("f1") & F.col("f2") & F.col("f3"), 1)
+              .otherwise(0)).cast("long").alias("c3"))
+    stack_args = ", ".join(
+        f"{i}, '{n}', c{i}" for i, n in enumerate(CRAWL_FUNNEL_STAGES))
+    return agg.select(F.expr(
+        f"stack({len(CRAWL_FUNNEL_STAGES)}, {stack_args})"
+        " as (stage, gate, n_kept)"))
+
+
+ORACLE_CRAWL_FUNNEL = f"""
+WITH rq AS ({ORACLE_ROBOTS_GATE}),
+sq AS ({ORACLE_CRAWL_SCHEDULE}),
+f AS (
+  SELECT d.doc_id, rq.allowed AS f1,
+         d.doc_id % 5 <> 2 AS f2,
+         sq.slot = 0 AS f3
+  FROM documents d JOIN rq USING (doc_id) JOIN sq USING (doc_id)),
+a AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS c0,
+         CAST(SUM(CASE WHEN f1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         CAST(SUM(CASE WHEN f1 AND f2 THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+         CAST(SUM(CASE WHEN f1 AND f2 AND f3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS c3
+  FROM f)
+SELECT CAST(0 AS INT) AS stage, 'discovered' AS gate, c0 AS n_kept FROM a
+UNION ALL SELECT 1, 'robots_allowed', c1 FROM a
+UNION ALL SELECT 2, 'not_seen', c2 FROM a
+UNION ALL SELECT 3, 'first_batch', c3 FROM a
+"""
