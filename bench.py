@@ -130,7 +130,11 @@ def main() -> None:
         # — only TIME heals it. When a pass lands far off the recorded
         # best, let the box settle before the next attempt; the sleep
         # is recorded, never timed.
-        if hist_best is not None and t > hist_best * 3 and len(runs) < 6:
+        # only settle when a NEXT attempt is actually possible under
+        # all three loop bounds — otherwise the sleep is dead wall time
+        if (hist_best is not None and t > hist_best * 3
+                and len(runs) < 6 and sum(runs) < 300
+                and time.perf_counter() - loop_t0 + 45 < 480):
             time.sleep(45)
             settle += 45
     extras["intra_settle_s"] = settle

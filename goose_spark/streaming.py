@@ -32,17 +32,37 @@ WATERMARK = "1 day"
 WINDOW = "1 day"
 
 
-def _stream_dir(sf_dir: str) -> str:
-    """The file stream source requires a *directory*; stage the single
-    events.parquet into a cached tmp dir (testdata is read-only)."""
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
-    d = f"/tmp/goose_stream_src_{tag}"
-    dst = os.path.join(d, "events.parquet")
-    src = os.path.join(sf_dir, "events.parquet")
-    if not os.path.exists(dst) or os.path.getmtime(dst) < os.path.getmtime(src):
+def _stage_stream_dir(sf_dir: str, table: str, tag_suffix: str,
+                      prefix: str, dst_names: tuple[str, ...]) -> str:
+    """The file stream source requires a *directory*; stage a testdata
+    parquet (read-only) into a cached tmp dir, one copy per dst name.
+
+    Staleness is keyed on the SOURCE's (mtime_ns, size) recorded in a
+    sidecar — a plain dst-vs-src mtime compare is unsound because copy2
+    preserves mtimes, so a regenerated source with an equal-or-older
+    mtime would be served stale and surface as an undebuggable driver
+    hash mismatch."""
+    tag = hashlib.md5((sf_dir + tag_suffix).encode()).hexdigest()[:12]
+    d = f"/tmp/{prefix}_{tag}"
+    src = os.path.join(sf_dir, f"{table}.parquet")
+    st = os.stat(src)
+    stamp = f"{st.st_mtime_ns}:{st.st_size}"
+    marker = os.path.join(d, ".srcstat")
+    fresh = (os.path.exists(marker)
+             and open(marker).read() == stamp
+             and all(os.path.exists(os.path.join(d, n)) for n in dst_names))
+    if not fresh:
         os.makedirs(d, exist_ok=True)
-        shutil.copy2(src, dst)
+        for n in dst_names:
+            shutil.copy2(src, os.path.join(d, n))
+        with open(marker, "w") as f:
+            f.write(stamp)
     return d
+
+
+def _stream_dir(sf_dir: str) -> str:
+    return _stage_stream_dir(sf_dir, "events", "", "goose_stream_src",
+                             ("events.parquet",))
 
 
 def stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -327,15 +347,8 @@ def _stream_dir_doubled(sf_dir: str) -> str:
     """Stage events.parquet TWICE (distinct filenames) so the stream
     carries genuine duplicates for dropDuplicates to remove — testdata
     event_ids are unique within one copy."""
-    tag = hashlib.md5((sf_dir + ":x2").encode()).hexdigest()[:12]
-    d = f"/tmp/goose_stream_dup_{tag}"
-    src = os.path.join(sf_dir, "events.parquet")
-    for name in ("events_a.parquet", "events_b.parquet"):
-        dst = os.path.join(d, name)
-        if not os.path.exists(dst) or os.path.getmtime(dst) < os.path.getmtime(src):
-            os.makedirs(d, exist_ok=True)
-            shutil.copy2(src, dst)
-    return d
+    return _stage_stream_dir(sf_dir, "events", ":x2", "goose_stream_dup",
+                             ("events_a.parquet", "events_b.parquet"))
 
 
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -401,14 +414,8 @@ FROM events GROUP BY user_id
 # ------------------------------------------------- streaming extraction --
 def _docs_stream_dir(sf_dir: str) -> str:
     """Stage documents.parquet into a dir for the file stream source."""
-    tag = hashlib.md5((sf_dir + ":docs").encode()).hexdigest()[:12]
-    d = f"/tmp/goose_stream_docs_{tag}"
-    dst = os.path.join(d, "documents.parquet")
-    src = os.path.join(sf_dir, "documents.parquet")
-    if not os.path.exists(dst) or os.path.getmtime(dst) < os.path.getmtime(src):
-        os.makedirs(d, exist_ok=True)
-        shutil.copy2(src, dst)
-    return d
+    return _stage_stream_dir(sf_dir, "documents", ":docs",
+                             "goose_stream_docs", ("documents.parquet",))
 
 
 def q_stream_extract(spark: SparkSession, sf_dir: str) -> DataFrame:

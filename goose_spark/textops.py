@@ -1460,9 +1460,12 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         top = (pairs.groupBy("pair").agg(F.sum("freq").alias("n_pair"))
                .orderBy(F.desc("n_pair"), "pair").limit(1).collect()[0])
         mark = chr(_BPE_MERGE_CHAR_BASE + r - 1)
+        # F.replace with lit args, NOT an f-string into SQL: a learned
+        # pair containing a quote/backslash (apostrophe-heavy corpora)
+        # must not be able to break the generated expression
         vocab = vocab.select(
-            F.expr(f"replace(w, '{top['pair']}', '{mark}')").alias("w"),
-            "freq").localCheckpoint()
+            F.replace(F.col("w"), F.lit(top["pair"]), F.lit(mark))
+            .alias("w"), "freq").localCheckpoint()
         total = vocab.select(
             F.sum(F.length("w") * F.col("freq")).alias("t")
         ).collect()[0]["t"]
