@@ -348,3 +348,22 @@ def test_host_stats_one_source_agg(spark):
     # must stay hash aggregates + the md5-count join, no nested loops
     assert "CartesianProduct" not in tree
     assert "HashAggregate" in tree
+
+
+def test_training_loop_epoch_plans_stay_jvm(spark):
+    """Each BPE/perceptron round is ONE map-side-combined aggregate —
+    no Python eval nodes, partial+final HashAggregate present."""
+    from pyspark.sql import functions as F
+
+    from goose_spark.filterops import _PCT_FEATS
+    from goose_spark.queries import load
+
+    d = load(spark, SF, "documents").select("doc_id", "text")
+    f = d.select(*[F.expr(e).alias(f"x{i+1}")
+                   for i, e in enumerate(_PCT_FEATS)])
+    agg = f.agg(F.sum(F.when(F.col("x2") >= 50, F.col("x2"))
+                      .otherwise(0)).alias("g"))
+    plan = _plan(agg)
+    tree = plan.split("\n\n")[0]
+    assert "EvalPython" not in plan
+    assert tree.count("HashAggregate") >= 2  # partial + final
