@@ -137,8 +137,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ann_lsh_buckets": A.q_ann_lsh_buckets,
         "q_ann_lsh_probe": A.q_ann_lsh_probe,
         "q_embed_neardup": A.q_embed_neardup,
-        "q_ann_ivf": A.q_ann_ivf,
         "q_ann_ivf_probe": A.q_ann_ivf_probe,
+        # k-means trainer (new r4-last): 3 full Lloyd rounds on the
+        # quantized integer grid — every assignment/update exact int64,
+        # so round 2 provably runs against round 1's learned centroids
+        "q_kmeans_train": A.q_kmeans_train,
         # streaming × extraction (new r4-late): the batch kernel on a
         # file stream, availableNow drain — same closed-form oracle as
         # q_warc_extract, so streaming must not change a byte
@@ -262,6 +265,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # corpus funnel's stage-5 hash gate; full per-row compare still
         # L3-conformed every pytest run
         "q_mix_sample": CO.q_mix_sample,
+        # rotated late r4 for q_kmeans_train: pure seed-centroid
+        # assignment, subsumed by q_ann_ivf_probe (assignment + one
+        # refinement + probe) which stays graded; L3-conformed each run
+        "q_ann_ivf": A.q_ann_ivf,
         # Long-stable Part-B probes: oracle-green r1/r2/r3 and still
         # asserted cross-engine by tests/test_relational_probes.py; the
         # rows-only entries lose nothing by being ungraded.
@@ -443,6 +450,7 @@ def oracle_sql() -> dict[str, str]:
         oracles["q_ann_lsh_probe"] = A.oracle_ann_lsh_probe()
         oracles["q_ann_lsh_buckets"] = A.oracle_ann_lsh_buckets()
         oracles["q_ann_ivf_probe"] = A.oracle_ann_ivf_probe()
+        oracles["q_kmeans_train"] = A.oracle_kmeans_train()
     except Exception as e:
         import sys
         import traceback

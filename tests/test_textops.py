@@ -514,3 +514,26 @@ def test_bpe_train_overlap_replace_semantics(spark):
     # round 2 mines the MERGED vocab: candidates are mark1+'a',
     # mark1+'b', 'ba' (each 60 occ except ba=30... all tie at 60,60,30)
     assert got[2].pair in (mark1 + "a", mark1 + "b")
+
+
+def test_kmeans_training_inertia_decreases(spark):
+    """Lloyd's algorithm guarantee on the integer grid: total inertia
+    is non-increasing round over round, every vector stays assigned,
+    and centroids actually move after round 1."""
+    from goose_spark.ann import KM_ROUNDS, q_kmeans_train
+
+    rows = q_kmeans_train(spark, "/root/testdata/sf0.001").collect()
+    by_round = {}
+    md5s = {}
+    for r in rows:
+        by_round.setdefault(r.round, [0, 0])
+        by_round[r.round][0] += r.n_assigned
+        by_round[r.round][1] += r.inertia
+        md5s.setdefault(r.round, set()).add(r.c_md5)
+    assert sorted(by_round) == list(range(1, KM_ROUNDS + 1))
+    n_vecs = by_round[1][0]
+    inertias = [by_round[r][1] for r in sorted(by_round)]
+    assert all(by_round[r][0] == n_vecs for r in by_round)
+    assert all(a >= b for a, b in zip(inertias, inertias[1:]))
+    assert inertias[0] > inertias[1]  # the seeds were not already optimal
+    assert md5s[1] != md5s[2] or md5s[2] != md5s[3]
