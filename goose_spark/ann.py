@@ -456,7 +456,11 @@ FROM t
 # same aggregate. At 10^12 vectors nothing grows with N on the driver.
 KM_K = N_CENTROIDS
 KM_ROUNDS = 3
-KM_SHIFT = 1000  # floor(v*1000) in [-1000, 1000] for unit-ish embeddings
+# derived from QUANT: floor(v*QUANT) >= -KM_SHIFT for unit-ish embeddings
+# (|v| <= 1), keeping the shifted grid non-negative — the corpus
+# assumption is pinned by tests/test_textops.py so a regenerated corpus
+# with |v| > 1 fails loudly in pytest, not as a driver hash mismatch
+KM_SHIFT = int(QUANT)
 
 
 def q_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -486,9 +490,14 @@ def q_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored = base.crossJoin(F.broadcast(cdf)).select(
             "vec_id", "qv", "cid", dist.alias("dist"))
         w = Window.partitionBy("vec_id").orderBy("dist", "cid")
+        # localCheckpoint: the assignment feeds TWO collect actions
+        # (stats + coordinate sums); without it each round would run
+        # the crossJoin + argmin window — the advertised at-scale
+        # bottleneck — twice
         assign = (scored.withColumn("_rn", F.row_number().over(w))
                   .filter(F.col("_rn") == 1)
-                  .select("vec_id", "qv", "cid", "dist"))
+                  .select("vec_id", "qv", "cid", "dist")
+                  .localCheckpoint())
         stats = {int(r.cid): (int(r.n), int(r.inertia))
                  for r in assign.groupBy("cid").agg(
                      F.count(F.lit(1)).alias("n"),

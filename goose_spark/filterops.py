@@ -556,27 +556,38 @@ _PCT_FEATS = (
 _PCT_COLS = ("w_bias", "w_words", "w_long", "w_chars")
 
 
-def q_perceptron_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _pct_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(x1..x4, y): the labeled integer feature table, one corpus pass."""
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
     f = d.select(
         *[F.expr(e).alias(c) for e, c in zip(_PCT_FEATS,
                                              ("x1", "x2", "x3", "x4"))])
-    f = f.withColumn(
+    return f.withColumn(
         "y", F.when(F.col("x2") >= PCT_LABEL_MIN_WORDS, 1)
         .otherwise(-1).cast("long"))
-    f = f.localCheckpoint()  # one corpus pass; epochs reuse the features
+
+
+def _pct_epoch_agg(f: DataFrame, w: list[int]) -> DataFrame:
+    """ONE epoch's aggregate: per-dimension error gradient + miss count
+    with the current weights inlined as literals. Factored out so the
+    plan test pins THIS exact aggregate (EvalPython-free, partial+final
+    HashAggregate), not a proxy."""
+    margin = F.expr(
+        f"y * ({w[0]} * x1 + {w[1]} * x2 + {w[2]} * x3 + {w[3]} * x4)")
+    miss = margin <= 0
+    return f.agg(
+        *[F.sum(F.when(miss, F.col("y") * F.col(f"x{i+1}"))
+                .otherwise(0)).cast("long").alias(f"g{i+1}")
+          for i in range(4)],
+        F.sum(F.when(miss, 1).otherwise(0)).cast("long").alias("m"))
+
+
+def q_perceptron_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    f = _pct_features(spark, sf_dir).localCheckpoint()
     w = [0, 0, 0, 0]
     rows = []
     for epoch in range(1, PCT_EPOCHS + 1):
-        margin = F.expr(
-            f"y * ({w[0]} * x1 + {w[1]} * x2 + {w[2]} * x3 + {w[3]} * x4)")
-        miss = margin <= 0
-        agg = f.agg(
-            *[F.sum(F.when(miss, F.col("y") * F.col(f"x{i+1}"))
-                    .otherwise(0)).cast("long").alias(f"g{i+1}")
-              for i in range(4)],
-            F.sum(F.when(miss, 1).otherwise(0)).cast("long").alias("m")
-        ).collect()[0]
+        agg = _pct_epoch_agg(f, w).collect()[0]
         w = [w[i] + int(agg[f"g{i+1}"]) for i in range(4)]
         rows.append((epoch, *w, int(agg["m"])))
     return spark.createDataFrame(

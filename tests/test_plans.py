@@ -351,18 +351,12 @@ def test_host_stats_one_source_agg(spark):
 
 
 def test_training_loop_epoch_plans_stay_jvm(spark):
-    """Each BPE/perceptron round is ONE map-side-combined aggregate —
-    no Python eval nodes, partial+final HashAggregate present."""
-    from pyspark.sql import functions as F
+    """THE perceptron epoch aggregate (the probe's own builder, epoch-1
+    weights) is one map-side-combined aggregate — no Python eval nodes,
+    partial+final HashAggregate present."""
+    from goose_spark.filterops import _pct_epoch_agg, _pct_features
 
-    from goose_spark.filterops import _PCT_FEATS
-    from goose_spark.queries import load
-
-    d = load(spark, SF, "documents").select("doc_id", "text")
-    f = d.select(*[F.expr(e).alias(f"x{i+1}")
-                   for i, e in enumerate(_PCT_FEATS)])
-    agg = f.agg(F.sum(F.when(F.col("x2") >= 50, F.col("x2"))
-                      .otherwise(0)).alias("g"))
+    agg = _pct_epoch_agg(_pct_features(spark, SF), [0, 0, 0, 0])
     plan = _plan(agg)
     tree = plan.split("\n\n")[0]
     assert "EvalPython" not in plan
