@@ -244,8 +244,12 @@ r0 AS (SELECT doc_id, {PR_SCALE} // n AS rank FROM nodes)"""]
     SELECT e.dst AS doc_id, SUM(r.rank // e.outdeg) AS s
     FROM edges e JOIN r{i} r ON r.doc_id = e.src GROUP BY e.dst) s
   USING (doc_id))""")
+    # CAST: DuckDB SUM() yields HUGEINT, which propagates into `rank` and
+    # arrives as arrow decimal128(38,0); the driver's value hash is
+    # type-sensitive vs Spark's int64 (CORRECTNESS_r04 q_pagerank).
     return ("WITH " + ",\n".join(ctes)
-            + f"\nSELECT doc_id, rank FROM r{PR_ITERS}")
+            + f"\nSELECT doc_id, CAST(rank AS BIGINT) AS rank"
+            + f" FROM r{PR_ITERS}")
 
 
 ORACLE_PAGERANK = _oracle_pagerank()

@@ -262,7 +262,8 @@ bi AS (
   FROM bx GROUP BY 1),
 total AS (SELECT SUM(n_term) AS n_total FROM uni)
 SELECT bigram, n_ab,
-       n_ab * 1000000 * n_total // (a.n_term * b.n_term) AS score
+       CAST(n_ab * 1000000 * n_total // (a.n_term * b.n_term)
+            AS BIGINT) AS score
 FROM bi
 JOIN uni a ON a.term = string_split(bigram, ' ')[1]
 JOIN uni b ON b.term = string_split(bigram, ' ')[2]

@@ -124,14 +124,20 @@ def resume_filter(pages: DataFrame, checkpoint: DataFrame | None,
                   run_id: str | None = None) -> DataFrame:
     """B4: drop urls already completed — LEFT ANTI join against the
     checkpoint table. The checkpoint side is urls-only (small relative to
-    pages) → Spark broadcasts it under autoBroadcastJoinThreshold; at
-    10^12-row scale bucket both sides by url instead."""
+    pages) and broadcast EXPLICITLY: relying on the size-stats threshold
+    let a stat-less checkpoint source degrade to a SortMergeJoin that
+    re-shuffled the fat pages side. No distinct() on the url set —
+    LeftAnti semantics are insensitive to right-side duplicates, and the
+    distinct was a whole extra shuffle of the url history for nothing.
+    At 10^12-row checkpoint scale use resume_filter_bucketed instead
+    (co-bucketed zero-exchange SMJ; broadcast stops fitting)."""
     if checkpoint is None:
         return pages
     ckpt = checkpoint
     if run_id is not None:
         ckpt = ckpt.filter(F.col("run_id") == run_id)
-    return pages.join(ckpt.select("url").distinct(), on="url", how="left_anti")
+    return pages.join(F.broadcast(ckpt.select("url")),
+                      on="url", how="left_anti")
 
 
 def with_bucket(pages: DataFrame) -> DataFrame:
@@ -159,12 +165,24 @@ def salted_repartition(df: DataFrame, partitions: int) -> DataFrame:
 
 
 def extract(pages: DataFrame, partitions: int | None = None,
-            doc_timeout_s: float | None = None, config=None) -> DataFrame:
+            doc_timeout_s: float | None = None, config=None,
+            presalted: bool = False) -> DataFrame:
     """The extraction operator (B17): prune columns, bucket, salt, then one
     mapInPandas pass with gooselite. doc_timeout_s: per-doc wall budget
     (None → GOOSE_DOC_TIMEOUT_S env, default 300s; 0 disables).
     config: optional gooselite.config.ExtractionConfig (A21) riding the
-    UDF closure to every worker."""
+    UDF closure to every worker.
+
+    presalted=True: the input already arrives spread by url hash — the
+    url-bucketed table layout (write_pages_bucketed) IS the salt, since
+    bucket assignment is hash(url) % N just like salted_repartition. The
+    explicit repartition would be a second full shuffle of the fat html
+    column for zero added uniformity, so the bucketed flagship path skips
+    it; with it gone the whole pre-UDF plan is exchange-free
+    (plan-asserted in tests/test_plans.py). Partition granularity then
+    comes from the table's bucket count — size it ~4× cluster cores at
+    write time for the same straggler-packing effect the salt's
+    `partitions` argument provides on unbucketed sources."""
     spark = pages.sparkSession
     configure_session(spark)
     if partitions is None:
@@ -175,7 +193,7 @@ def extract(pages: DataFrame, partitions: int | None = None,
         partitions = spark.sparkContext.defaultParallelism * 4
     cols = pages.select("url", "warc_ts", "html", "lang")
     bucketed = with_bucket(cols)
-    salted = salted_repartition(bucketed, partitions)
+    salted = bucketed if presalted else salted_repartition(bucketed, partitions)
     # Decorrelate arrival order from any upstream ordering: after the
     # dedupe window the rows arrive url-sorted, and url order correlates
     # with document size in CC-style crawls, so giant docs cluster into
@@ -225,8 +243,35 @@ def run_job(spark: SparkSession, pages_path: str, out_dir: str, run_id: str,
                       partitions)
 
 
+def _url_bucketed(spark: SparkSession, table: str) -> bool:
+    """True when `table` is bucketed by url in the catalog (Spark native
+    bucketing locally; the Iceberg bucket(url, N) transform at scale)."""
+    try:
+        rows = spark.sql(f"DESCRIBE FORMATTED {table}").collect()
+    except Exception:
+        return False
+    info = {r.col_name.strip(): (r.data_type or "").strip() for r in rows}
+    return ("Num Buckets" in info
+            and info.get("Bucket Columns", "").strip("[]` ") == "url")
+
+
+def run_job_table(spark: SparkSession, pages_table: str, out_dir: str,
+                  run_id: str, partitions: int | None = None) -> dict:
+    """Full batch job over a catalog pages table — the flagship entry at
+    cluster scale. When the table is bucketed by url
+    (write_pages_bucketed / Iceberg bucket(url, N)), the whole pre-UDF
+    plan runs exchange-free: the bucketed scan satisfies the dedupe
+    window's partitioning (B11) AND stands in for the salt (B15), so the
+    fat html column never shuffles — the #1 shuffle at 10^12 rows on an
+    unbucketed source (module docstring). Unbucketed tables fall through
+    to the salted path unchanged."""
+    return run_job_df(spark, spark.table(pages_table), out_dir, run_id,
+                      partitions, presalted=_url_bucketed(spark, pages_table))
+
+
 def run_job_df(spark: SparkSession, pages: DataFrame, out_dir: str,
-               run_id: str, partitions: int | None = None) -> dict:
+               run_id: str, partitions: int | None = None,
+               presalted: bool = False) -> dict:
     """Full batch job with durable writes + resumable checkpoint (B20/B21).
 
     Write order is the exactly-once-ish contract: EXTRACTED first, then
@@ -273,7 +318,8 @@ def run_job_df(spark: SparkSession, pages: DataFrame, out_dir: str,
     # local stand-in for an Iceberg snapshot/commit id).
     batch_id = f"{run_id}-{uuid.uuid4().hex[:12]}"
     batch_root = os.path.join(extracted_path, f"batch={batch_id}")
-    (extract(todo, partitions).repartition(F.col("bucket"))
+    (extract(todo, partitions, presalted=presalted)
+     .repartition(F.col("bucket"))
      .write.mode("append").partitionBy("bucket").parquet(batch_root))
     new_files = sorted(_parquet_files(batch_root))
 

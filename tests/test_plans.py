@@ -1,6 +1,7 @@
 """Physical-plan shape tests (SURVEY.md §4.2): pushdown, pruning, and join
 strategy must actually reach the scan — not just produce correct rows."""
 
+import os
 from contextlib import contextmanager
 
 import pytest
@@ -224,6 +225,61 @@ def test_bucketed_anti_join_has_no_exchange(spark):
     finally:
         spark.sql("DROP TABLE IF EXISTS pages_aj_t")
         spark.sql("DROP TABLE IF EXISTS ckpt_aj_t")
+
+
+def test_bucketed_flagship_pre_udf_is_exchange_free(spark, tmp_path):
+    """VERDICT r4 item 6: the FLAGSHIP path (dedupe → resume → extract),
+    not just the side APIs, must run with zero non-broadcast Exchange
+    before the UDF on a url-bucketed source — the bucketed scan satisfies
+    both the dedupe window's partitioning AND the salt, so the fat html
+    column never shuffles. The same pipeline on plain parquet keeps its
+    deliberate exchanges (dedupe shuffle + salt)."""
+    import datetime
+
+    pages = spark.range(300).select(
+        F.concat(F.lit("https://u/"), (F.col("id") % 100).cast("string"))
+        .alias("url"),
+        (F.col("id") % 7).cast("timestamp").alias("warc_ts"),
+        F.concat(F.lit("<html><body><p>"),
+                 F.sha2(F.col("id").cast("string"), 256),
+                 F.lit(" the and of to in a for</p></body></html>"))
+        .cast("binary").alias("html"),
+        F.lit("en").alias("lang"))
+    ckpt = spark.createDataFrame(
+        [("r0", "https://u/1", datetime.datetime(2025, 1, 1))],
+        "run_id string, url string, completed_ts timestamp")
+
+    # a crashed earlier session can leave the managed-table dir behind
+    # (LOCATION_ALREADY_EXISTS) even when the metastore entry is gone
+    spark.sql("DROP TABLE IF EXISTS pages_flag_t")
+    import shutil
+    shutil.rmtree(os.path.join(str(spark.conf.get("spark.sql.warehouse.dir"))
+                               .removeprefix("file:"), "pages_flag_t"),
+                  ignore_errors=True)
+    J.write_pages_bucketed(pages, "pages_flag_t", buckets=4)
+    try:
+        assert J._url_bucketed(spark, "pages_flag_t")
+        todo = J.prepare(spark.table("pages_flag_t"), ckpt)
+        out = J.extract(todo, presalted=True)
+        tree = _plan(out).split("\n\n")[0]
+        exchanges = [ln for ln in tree.splitlines()
+                     if "Exchange" in ln and "BroadcastExchange" not in ln]
+        assert exchanges == [], exchanges
+        assert "ArrowEvalPython" in tree or "MapInPandas" in tree
+
+        # identical semantics vs the salted path on plain parquet
+        plain_path = str(tmp_path / "plain")
+        pages.write.parquet(plain_path)
+        plain_todo = J.prepare(spark.read.parquet(plain_path), ckpt)
+        a = sorted((r.url, r.cleaned_text) for r in out.collect())
+        b = sorted((r.url, r.cleaned_text)
+                   for r in J.extract(plain_todo).collect())
+        assert a == b and len(a) == 99
+
+        # unbucketed sources fall through to the salted path
+        assert not J._url_bucketed(spark, "missing_table_xyz")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS pages_flag_t")
 
 
 def test_decontaminate_broadcasts_eval_set(spark):
