@@ -35,7 +35,7 @@ EPOCH = datetime(2025, 1, 1, tzinfo=timezone.utc)
 
 # Bump when the template or stopword tables change: the /tmp cache key
 # includes it, so stale fixtures regenerate instead of mismatching code.
-FIXTURE_VERSION = 13  # v13: fa/uk/cs/ro tables join the language spread
+FIXTURE_VERSION = 14  # v14: attribute-scored body-image pages (A17 offline)
 
 # Languages cycled onto a deterministic share of docs so fixtures exercise
 # every shipped stopword table (VERDICT r1 item 3), beyond the seed
@@ -137,7 +137,8 @@ def _render(doc_id: int, built: dict, page_lang_attr: str, charset: str,
             og_title: bool = False, publish_date: str | None = None,
             movies: list[str] | None = None,
             image: str | None = None,
-            authors: list[str] | None = None) -> str:
+            authors: list[str] | None = None,
+            body_images: str = "") -> str:
     site = doc_id % 40
     # og:title pages carry a boilerplate <title> the extractor must NOT
     # pick (A4: og:title wins)
@@ -184,7 +185,7 @@ def _render(doc_id: int, built: dict, page_lang_attr: str, charset: str,
     body = (
         _BOILER.format(linky=_LINKY)
         + f'<div class="prelude"><p>{esc_text(built["sibling"])}</p></div>\n'
-        + f'<div class="article-body">\n{paras_html}\n{movies_html}</div>\n'
+        + f'<div class="article-body">\n{paras_html}\n{movies_html}{body_images}</div>\n'
         + _TAIL.format(linky=_LINKY)
     )
     return head + body
@@ -239,10 +240,28 @@ def generate(documents_parquet: str, out_dir: str, copies: int = 1) -> tuple[str
             image = (f"/img/lead_{doc_id}.jpg" if doc_id % 3 == 0
                      else f"https://cdn{doc_id % 5}.example/lead_{doc_id}.jpg")
 
+        # A17 offline goldens (v14): half the meta-image-less pages carry
+        # attribute-scored body <img>s — decoys the scorer must reject
+        # (.gif/spacer name, /ads/ path + banner aspect, sub-50px icon)
+        # plus an area-ranked winner and a smaller runner-up; the
+        # extractor must pick the winner with NO meta schema present.
+        body_images = ""
+        body_img_src = None
+        if not with_image and doc_id % 8 == 3:
+            win_w = 400 + (doc_id % 5) * 60
+            body_img_src = f"/img/body_lead_{doc_id}.jpg"
+            body_images = (
+                '<img src="/img/spacer.gif" width="600" height="400">\n'
+                f'<img src="/ads/banner_{doc_id}.jpg" width="728" height="90">\n'
+                f'<img src="/img/icon_{doc_id}.png" width="32" height="32">\n'
+                f'<img src="{body_img_src}" width="{win_w}" height="300">\n'
+                f'<img src="/img/runner_{doc_id}.jpg" width="200" height="150">\n')
+
         charset = "iso-8859-1" if latin1 else "utf-8"
         html_text = _render(doc_id, built, doc_lang or built["eff"], charset,
                             og_title=og_title, publish_date=publish_date,
-                            movies=movies, image=image, authors=authors)
+                            movies=movies, image=image, authors=authors,
+                            body_images=body_images)
         html_bytes: bytes | None
         try:
             html_bytes = html_text.encode(charset)
@@ -252,7 +271,8 @@ def generate(documents_parquet: str, out_dir: str, copies: int = 1) -> tuple[str
             charset = "utf-8"
             html_text = _render(doc_id, built, doc_lang or built["eff"], charset,
                                 og_title=og_title, publish_date=publish_date,
-                                movies=movies, image=image, authors=authors)
+                                movies=movies, image=image, authors=authors,
+                                body_images=body_images)
             html_bytes = html_text.encode(charset)
 
         status = "ok"
@@ -260,7 +280,9 @@ def generate(documents_parquet: str, out_dir: str, copies: int = 1) -> tuple[str
         expected_title = built["title"]
         expected_publish = publish_date
         expected_movies = list(movies)
-        expected_image = image  # resolved per-copy url below (urljoin)
+        # meta image wins when declared; otherwise the attribute-scored
+        # body winner; resolved per-copy url below (urljoin)
+        expected_image = image if image is not None else body_img_src
         expected_authors = list(authors)
         if null_html:
             html_bytes = None

@@ -225,6 +225,70 @@ def get_top_image(root: Node, url: str, idx: dict | None = None) -> str | None:
     return None
 
 
+# A17 offline scoring subset [canon: goose ImageExtractor — the
+# attribute-driven slice of its candidate filtering; the fetch-based
+# bytes/dimension probing is a documented non-goal on this offline box].
+# Known-ad/furniture filename fragments, adapted from the goose-lineage
+# matchBadImageNames list; anchored to the PATH (query strings excluded
+# by the split in _score) so an article image named "...?from=digg"
+# isn't rejected.
+_BAD_IMAGE_RE = re.compile(
+    r"\.html$|\.gif$|\.ico$|button|twitter\.jpg|facebook\.jpg|digg"
+    r"|delicious|reddit\.|doubleclick|adserver|/ads?/|adsatt|spacer"
+    r"|\bpixel\b|1x1|mediaplex|atdmt", re.I)
+_MIN_IMG_DIM = 50      # goose-lineage: candidates under 50px are skipped
+_BANNER_RATIO = 5.0    # and extreme aspect ratios are ad banners/skyscrapers
+
+_DIM_RE = re.compile(r"\s*(\d+)\s*(?:px)?\s*$", re.I)
+
+
+def _img_dim(val) -> int | None:
+    """Parse a width/height ATTRIBUTE: plain integers and "NNpx" count;
+    percentages/auto/garbage → unknown (None)."""
+    if not val:
+        return None
+    m = _DIM_RE.match(str(val))
+    return int(m.group(1)) if m else None
+
+
+def score_top_node_image(top_node: Node | None, url: str) -> str | None:
+    """A17 offline subset: attribute-scored <img> inside the cleaned top
+    node — the fallback when the page declares no og/twitter/link-rel
+    image. Candidates are filtered by the known-ad filename regex, the
+    50px minimum and the banner aspect cap, then ranked by declared
+    width×height area (doc-order tie-break). Images with no usable
+    dimension attributes can't be ranked offline; the first clean one is
+    kept as a weak fallback so attribute-less article pages still get a
+    lead image."""
+    if top_node is None:
+        return None
+    best: str | None = None
+    best_area = -1
+    fallback: str | None = None
+    for img in top_node.get_elements_by_tag("img"):
+        src = (img.attrib.get("src") or "").strip()
+        if not src or src.startswith("data:"):
+            continue
+        if _BAD_IMAGE_RE.search(src.split("?", 1)[0]):
+            continue
+        w = _img_dim(img.attrib.get("width"))
+        h = _img_dim(img.attrib.get("height"))
+        if (w is not None and w < _MIN_IMG_DIM) or \
+                (h is not None and h < _MIN_IMG_DIM):
+            continue
+        if w and h:
+            ratio = w / h
+            if ratio > _BANNER_RATIO or ratio < 1.0 / _BANNER_RATIO:
+                continue
+            area = w * h
+            if area > best_area:
+                best_area, best = area, src
+        elif fallback is None:
+            fallback = src
+    chosen = best if best is not None else fallback
+    return _safe_urljoin(url, chosen) if chosen else None
+
+
 _TAG_HREF_RE = re.compile(r"/tag[s]?/")
 
 

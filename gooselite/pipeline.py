@@ -34,6 +34,7 @@ from gooselite.metadata import (
     get_title,
     get_top_image,
     metadata_index,
+    score_top_node_image,
 )
 from gooselite.minidom import ParseError, dispose, parse_html
 from gooselite.scoring import calculate_best_node, post_cleanup
@@ -158,6 +159,14 @@ def _extract_parsed(root, lang: str | None, url: str, bytes_in: int,
     markdown: str | None = None
     links: list[str] = []
     if top_node is not None:
+        # A17 offline fallback: no page-declared image → attribute-score
+        # the <img>s inside the top node. Runs BEFORE post_cleanup, per
+        # the goose-lineage order (its image extractor reads the top
+        # node before the prune detaches non-<p> children — a bare <img>
+        # child never survives the node-score threshold); meta schemas
+        # keep priority, per the check_known_schemas-first order.
+        if config.enable_images and top_image is None:
+            top_image = score_top_node_image(top_node, url)
         top_node = post_cleanup(top_node, effective_lang)
         # A16-ext: anchors surviving the cleaner + post-cleanup — must
         # read BEFORE the formatter, which drop_tag()s every <a>; this

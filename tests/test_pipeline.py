@@ -330,6 +330,40 @@ def test_top_image_extraction():
     assert r["top_image"] is None
 
 
+def test_top_image_attribute_scoring():
+    """A17 offline subset: with no meta schema, <img>s inside the top
+    node are filtered (ad filename, banner aspect, sub-50px, .gif) and
+    ranked by declared width×height area; meta schemas keep priority;
+    attribute-less images are only a last-resort fallback."""
+    imgs = (
+        '<img src="/img/spacer.gif" width="600" height="400">\n'
+        '<img src="/ads/banner_1.jpg" width="728" height="90">\n'
+        '<img src="/img/icon.png" width="32" height="32">\n'
+        '<img src="/img/tall_sky.jpg" width="120" height="900">\n'
+        '<img src="/img/winner.jpg" width="640" height="480">\n'
+        '<img src="/img/runner.jpg" width="300" height="200">\n')
+    page = _page().replace("</div>\n<ul", imgs + "</div>\n<ul", 1)
+    r = extract_one(page.encode(), "en", "https://x.example/a/1")
+    assert r["top_image"] == "https://x.example/img/winner.jpg"
+    # cleaned_text untouched by body images
+    assert r["cleaned_text"] == "\n\n".join([SIB, P1, P2, P3])
+    # meta schema still wins over a bigger body image
+    withmeta = page.replace(
+        "</head>", '<meta property="og:image" content="/img/meta.jpg">\n</head>')
+    r = extract_one(withmeta.encode(), "en", "https://x.example/a/1")
+    assert r["top_image"] == "https://x.example/img/meta.jpg"
+    # no scored candidate → first clean attribute-less image
+    noattrs = page.replace(' width="640" height="480"', "").replace(
+        ' width="300" height="200"', "")
+    r = extract_one(noattrs.encode(), "en", "https://x.example/a/1")
+    assert r["top_image"] == "https://x.example/img/winner.jpg"
+    # only rejects → None
+    rejects = _page().replace(
+        "</div>\n<ul",
+        '<img src="/ads/banner.jpg" width="728" height="90">\n</div>\n<ul', 1)
+    assert extract_one(rejects.encode(), "en", "https://x")["top_image"] is None
+
+
 def test_authors_opengraph_links_extraction():
     html = """<!DOCTYPE html><html><head><meta charset="utf-8">
 <title>t | s</title>
