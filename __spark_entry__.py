@@ -19,8 +19,8 @@ brute-force hamming twin — every hash step has an exact DuckDB twin).
 The ANN scale-path probes (q_ann_lsh_probe, q_ann_ivf_probe)
 ARE oracle-backed: their bucketing/argmax math is engineered to be
 engine-exact (goose_spark/ann.py). q_ann_cosine_topk's oracle is
-parameterized by the collected query vector and therefore present only
-when a SparkSession is live at oracle_sql() time (the driver's is).
+parameterized by the query vector, read via pyarrow at sf0.01 so it is
+always present (no live-session dependency).
 """
 
 from __future__ import annotations
@@ -340,8 +340,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL twins (same column aliases as the Spark
-    plans). q_ann_cosine_topk's oracle is parameterized by the collected
-    query vector, so it is rendered against sf0.01 here.
+    plans). The parameterized ANN oracles (incl. q_ann_cosine_topk) are
+    rendered against sf0.01 via pyarrow — no live session needed.
     """
     from goose_spark import audioops as AU
     from goose_spark import corpusops as CO
@@ -451,6 +451,7 @@ def oracle_sql() -> dict[str, str]:
         oracles["q_ann_lsh_buckets"] = A.oracle_ann_lsh_buckets()
         oracles["q_ann_ivf_probe"] = A.oracle_ann_ivf_probe()
         oracles["q_kmeans_train"] = A.oracle_kmeans_train()
+        oracles["q_ann_cosine_topk"] = A.oracle_ann_cosine_topk()
     except Exception as e:
         import sys
         import traceback
@@ -461,15 +462,4 @@ def oracle_sql() -> dict[str, str]:
     oracles["q_stream_window_append"] = S.ORACLE_STREAM_WINDOW_APPEND
     oracles["q_stream_sessions"] = S.ORACLE_STREAM_SESSIONS
     oracles["q_stream_dedup"] = S.ORACLE_STREAM_DEDUP
-    try:  # needs a live session to read the query vector parameter
-        from goose_spark.ann import oracle_ann_cosine_topk
-
-        spark = SparkSession.getActiveSession()
-        if spark is not None:
-            oracles["q_ann_cosine_topk"] = oracle_ann_cosine_topk(
-                spark, "/root/testdata/sf0.01")
-    except Exception as e:
-        import sys
-        print("WARNING __spark_entry__: q_ann_cosine_topk oracle degraded "
-              f"to rows-only: {e!r}", file=sys.stderr)
     return oracles

@@ -55,9 +55,12 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def oracle_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> str:
-    """Oracle SQL is parameterized by the same collected query vector."""
-    q = _query_vector(spark, sf_dir)
+def oracle_ann_cosine_topk(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    """Oracle SQL is parameterized by the same query vector, read via
+    pyarrow so rendering never depends on a live SparkSession (the
+    previous getActiveSession() path silently degraded the probe to
+    rows-only whenever oracle_sql() ran outside a session)."""
+    q = _vectors_pyarrow(sf_dir)
     lit = "[" + ", ".join(repr(x) for x in q) + "]::DOUBLE[]"
     return f"""
 WITH q AS (SELECT {lit} AS qv)

@@ -70,7 +70,7 @@ def test_ann_cosine_topk_matches_duckdb(spark, duck):
 
     sdf = q_ann_cosine_topk(spark, SF_DIR)
     srows = [tuple(r) for r in sdf.collect()]
-    sql = oracle_ann_cosine_topk(spark, SF_DIR)
+    sql = oracle_ann_cosine_topk(SF_DIR)
     ores = duck.execute(sql)
     ocols = [d[0] for d in ores.description]
     orows = ores.fetchall()
