@@ -204,7 +204,7 @@ WITH t AS (
          COUNT(*) OVER (PARTITION BY {_DOMAIN_SYNTH_T.format(S='VARCHAR')})
            AS domain_total
   FROM documents)
-SELECT doc_id, domain, CAST(rnk AS BIGINT) AS rnk,
+SELECT doc_id, domain, CAST(rnk AS INTEGER) AS rnk,
        CAST(domain_total AS BIGINT) AS domain_total,
        rnk <= {DOMAIN_CAP} AS kept
 FROM t

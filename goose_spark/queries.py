@@ -88,15 +88,23 @@ FROM lineitem
 
 # ---------------------------------------------------------------- joins ----
 def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """B4: LEFT ANTI — the checkpoint-resume operator shape."""
+    """B4: LEFT ANTI — the checkpoint-resume operator shape.
+
+    The right side is filtered (recent orders) so the anti set is
+    NON-empty at every sf (unfiltered, every customer has an order and
+    the probe degenerated to 0 rows — a gate that proves nothing). The
+    filtered build side is also the resume shape: completed-work keys
+    are a small filtered set, anti-joined under broadcast."""
     c = load(spark, sf_dir, "customer")
-    o = load(spark, sf_dir, "orders")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
 
 
 ORACLE_ANTI_JOIN = """
 SELECT c_custkey, c_name FROM customer c
-WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderdate >= TIMESTAMP '2000-01-01')
 """
 
 

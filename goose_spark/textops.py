@@ -939,7 +939,9 @@ o AS (
                                 {CHUNK_STRIDE})) AS off
   FROM t)
 , o2 AS (
-  SELECT o.*, CAST(off / {CHUNK_STRIDE} AS BIGINT) AS chunk_idx FROM o)
+  -- INTEGER: Spark's posexplode position is int32; the widths must
+  -- agree for the type-sensitive value hash (scripts/rehearse.py)
+  SELECT o.*, CAST(off / {CHUNK_STRIDE} AS INTEGER) AS chunk_idx FROM o)
 SELECT doc_id, chunk_idx, CAST(off AS INT) AS off,
        CAST(len(list_slice(toks, off + 1,
                            least(off + {CHUNK_TOKENS}, n_tokens))) AS INT)
