@@ -29,14 +29,14 @@ _HISTORICAL_BEST_S = {0.1: 10.5, 0.01: 2.8}
 # them epoch_capped in the output instead of letting a governor-bound
 # window masquerade as a regression.
 _TAIL_HISTORICAL_BEST_S = {
-    0.1: {
-        "q_hash_agg": 0.48, "q_window_dedupe": 0.74,
-        "q_equi_join_3way": 1.04, "q_topk": 0.31, "q_dedup_exact": 0.29,
-        "q_token_count": 0.20, "q_fingerprint": 0.19,
-        "q_minhash_pairs": 2.1, "q_simhash": 0.20,
-        "q_ann_cosine_topk": 0.89, "q_pdf_extract": 1.96,
-        "q_image_decode": 0.97, "q_repetition_filter": 0.70,
-        "q_paragraph_dedup": 0.65, "q_pagerank": 0.70,
+    0.1: {  # refreshed from the r5 quiet-window session (2026-08-18)
+        "q_hash_agg": 0.30, "q_window_dedupe": 0.45,
+        "q_equi_join_3way": 0.38, "q_topk": 0.17, "q_dedup_exact": 0.19,
+        "q_token_count": 0.14, "q_fingerprint": 0.14,
+        "q_minhash_pairs": 1.24, "q_simhash": 0.13,
+        "q_ann_cosine_topk": 0.53, "q_pdf_extract": 1.19,
+        "q_image_decode": 0.61, "q_repetition_filter": 0.53,
+        "q_paragraph_dedup": 0.43, "q_pagerank": 0.47,
         "q_substring_dedup": 2.25,
     },
 }
