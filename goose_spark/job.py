@@ -121,7 +121,8 @@ def resume_filter_bucketed(spark: SparkSession, pages_table: str,
 
 
 def resume_filter(pages: DataFrame, checkpoint: DataFrame | None,
-                  run_id: str | None = None) -> DataFrame:
+                  run_id: str | None = None,
+                  broadcast_cap_rows: int = 20_000_000) -> DataFrame:
     """B4: drop urls already completed — LEFT ANTI join against the
     checkpoint table. The checkpoint side is urls-only (small relative to
     pages) and broadcast EXPLICITLY: relying on the size-stats threshold
@@ -129,15 +130,30 @@ def resume_filter(pages: DataFrame, checkpoint: DataFrame | None,
     re-shuffled the fat pages side. No distinct() on the url set —
     LeftAnti semantics are insensitive to right-side duplicates, and the
     distinct was a whole extra shuffle of the url history for nothing.
-    At 10^12-row checkpoint scale use resume_filter_bucketed instead
-    (co-bucketed zero-exchange SMJ; broadcast stops fitting)."""
+
+    broadcast_cap_rows restores graceful degradation: above the cap the
+    forced broadcast would OOM the driver/executors outright (urls-only
+    rows at ~100 B each → the default caps the build side around 2 GB),
+    so the join falls back to letting Catalyst/AQE pick the strategy.
+    The counting pass touches only the url/run_id columns. At 10^12-row
+    checkpoint scale use resume_filter_bucketed instead (co-bucketed
+    zero-exchange SMJ; no broadcast, no re-shuffle of the fat side)."""
     if checkpoint is None:
         return pages
     ckpt = checkpoint
     if run_id is not None:
         ckpt = ckpt.filter(F.col("run_id") == run_id)
-    return pages.join(F.broadcast(ckpt.select("url")),
-                      on="url", how="left_anti")
+    urls = ckpt.select("url")
+    if urls.limit(broadcast_cap_rows + 1).count() > broadcast_cap_rows:
+        import warnings
+
+        warnings.warn(
+            f"resume_filter: checkpoint url set exceeds "
+            f"{broadcast_cap_rows} rows; skipping the forced broadcast "
+            "(use resume_filter_bucketed / a url-bucketed layout at this "
+            "scale)", stacklevel=2)
+        return pages.join(urls, on="url", how="left_anti")
+    return pages.join(F.broadcast(urls), on="url", how="left_anti")
 
 
 def with_bucket(pages: DataFrame) -> DataFrame:
@@ -243,16 +259,22 @@ def run_job(spark: SparkSession, pages_path: str, out_dir: str, run_id: str,
                       partitions)
 
 
-def _url_bucketed(spark: SparkSession, table: str) -> bool:
-    """True when `table` is bucketed by url in the catalog (Spark native
-    bucketing locally; the Iceberg bucket(url, N) transform at scale)."""
+def _url_bucket_count(spark: SparkSession, table: str) -> int | None:
+    """Bucket count when `table` is bucketed by url in the catalog (Spark
+    native bucketing locally; the Iceberg bucket(url, N) transform at
+    scale); None when not url-bucketed."""
     try:
         rows = spark.sql(f"DESCRIBE FORMATTED {table}").collect()
     except Exception:
-        return False
+        return None
     info = {r.col_name.strip(): (r.data_type or "").strip() for r in rows}
-    return ("Num Buckets" in info
-            and info.get("Bucket Columns", "").strip("[]` ") == "url")
+    if ("Num Buckets" not in info
+            or info.get("Bucket Columns", "").strip("[]` ") != "url"):
+        return None
+    try:
+        return int(info["Num Buckets"])
+    except ValueError:
+        return None
 
 
 def run_job_table(spark: SparkSession, pages_table: str, out_dir: str,
@@ -264,9 +286,28 @@ def run_job_table(spark: SparkSession, pages_table: str, out_dir: str,
     window's partitioning (B11) AND stands in for the salt (B15), so the
     fat html column never shuffles — the #1 shuffle at 10^12 rows on an
     unbucketed source (module docstring). Unbucketed tables fall through
-    to the salted path unchanged."""
+    to the salted path unchanged.
+
+    Guard: a table bucketed FAR below the cluster width (e.g. 4 buckets
+    on 32 cores) would silently run the UDF stage under-parallelized on
+    the exchange-free path — extract()'s task granularity comes from the
+    bucket count. In that case the salt is worth its shuffle back: the
+    job warns and falls through to the salted path instead of quietly
+    discarding the cluster."""
+    buckets = _url_bucket_count(spark, pages_table)
+    presalted = buckets is not None
+    if presalted and buckets < spark.sparkContext.defaultParallelism:
+        import warnings
+
+        warnings.warn(
+            f"run_job_table: {pages_table} has {buckets} url buckets but "
+            f"the cluster runs {spark.sparkContext.defaultParallelism} "
+            "slots; using the salted path — rewrite the table with "
+            "buckets ≈ 4× cores for the exchange-free plan",
+            stacklevel=2)
+        presalted = False
     return run_job_df(spark, spark.table(pages_table), out_dir, run_id,
-                      partitions, presalted=_url_bucketed(spark, pages_table))
+                      partitions, presalted=presalted)
 
 
 def run_job_df(spark: SparkSession, pages: DataFrame, out_dir: str,

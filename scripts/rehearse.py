@@ -26,9 +26,9 @@ import traceback
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-SF_DIR = "/root/testdata/sf0.01"
-TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
-          "lineitem", "events", "documents", "embeddings")
+from goose_spark.ducklab import SF_DIR_DEFAULT as SF_DIR  # noqa: E402
+from goose_spark.ducklab import duck_views  # noqa: E402
+
 GRADED_WINDOW = 50
 
 
@@ -66,13 +66,19 @@ def main(argv):
              .config("spark.sql.shuffle.partitions", "16")
              .config("spark.driver.memory", "12g")
              .config("spark.ui.enabled", "false")
+             # UTC like bench.py/conftest.py: string→timestamp casts in
+             # probes must not drift with the host TZ vs DuckDB's naive
+             # timestamps
+             .config("spark.sql.session.timeZone", "UTC")
+             # arrow-backed toPandas: the hash must see Spark's actual
+             # arrow schema — non-arrow toPandas lets pandas inference
+             # widen nullable int columns to float64, fabricating (or
+             # masking) type drifts the driver would never see
+             .config("spark.sql.execution.arrow.pyspark.enabled", "true")
              .getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
-    osql = entry.oracle_sql()  # after session: parity with driver's order
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
-                    f"read_parquet('{SF_DIR}/{t}.parquet')")
+    osql = entry.oracle_sql()
+    con = duck_views(duckdb.connect(), SF_DIR)
 
     report, n_fail = {}, 0
     for name in sel:

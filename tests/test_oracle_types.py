@@ -19,24 +19,22 @@ import pyarrow as pa
 import pytest
 
 import __spark_entry__ as entry
-
-SF_DIR = "/root/testdata/sf0.01"
-TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
-          "lineitem", "events", "documents", "embeddings")
+from goose_spark.ducklab import SF_DIR_DEFAULT as SF_DIR
+from goose_spark.ducklab import duck_views
 
 
 @pytest.fixture(scope="module")
 def duck():
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM "
-            f"read_parquet('{SF_DIR}/{t}.parquet')")
+    con = duck_views(duckdb.connect(), SF_DIR)
     yield con
     con.close()
 
 
-ORACLES = sorted(entry.oracle_sql().keys())
+# Rendered ONCE: oracle_sql() re-reads parquet for the parameterized ANN
+# oracles (~0.3 s/render) — per-test re-rendering added ~30 s of pure
+# redundant work to every pytest run.
+OSQL = entry.oracle_sql()
+ORACLES = sorted(OSQL.keys())
 
 
 def _offending(field_type):
@@ -49,7 +47,7 @@ def _offending(field_type):
 
 @pytest.mark.parametrize("name", ORACLES)
 def test_oracle_emits_no_decimal(duck, name):
-    tbl = duck.execute(entry.oracle_sql()[name]).fetch_arrow_table()
+    tbl = duck.execute(OSQL[name]).fetch_arrow_table()
     bad = [f"{f.name}: {f.type}" for f in tbl.schema if _offending(f.type)]
     assert not bad, (
         f"{name}: decimal-typed oracle column(s) {bad} — the driver's "

@@ -258,7 +258,7 @@ def test_bucketed_flagship_pre_udf_is_exchange_free(spark, tmp_path):
                   ignore_errors=True)
     J.write_pages_bucketed(pages, "pages_flag_t", buckets=4)
     try:
-        assert J._url_bucketed(spark, "pages_flag_t")
+        assert J._url_bucket_count(spark, "pages_flag_t") == 4
         todo = J.prepare(spark.table("pages_flag_t"), ckpt)
         out = J.extract(todo, presalted=True)
         tree = _plan(out).split("\n\n")[0]
@@ -277,7 +277,7 @@ def test_bucketed_flagship_pre_udf_is_exchange_free(spark, tmp_path):
         assert a == b and len(a) == 99
 
         # unbucketed sources fall through to the salted path
-        assert not J._url_bucketed(spark, "missing_table_xyz")
+        assert J._url_bucket_count(spark, "missing_table_xyz") is None
     finally:
         spark.sql("DROP TABLE IF EXISTS pages_flag_t")
 

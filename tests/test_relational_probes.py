@@ -10,18 +10,13 @@ import duckdb
 import pytest
 
 import __spark_entry__ as entry
-
-SF_DIR = "/root/testdata/sf0.01"
-TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
-          "lineitem", "events", "documents", "embeddings")
+from goose_spark.ducklab import SF_DIR_DEFAULT as SF_DIR
+from goose_spark.ducklab import duck_views
 
 
 @pytest.fixture(scope="module")
 def duck():
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
+    con = duck_views(duckdb.connect(), SF_DIR)
     yield con
     con.close()
 
