@@ -443,21 +443,26 @@ def oracle_sql() -> dict[str, str]:
     from goose_spark import components as CC
 
     oracles["q_dedup_groups"] = CC.ORACLE_DEDUP_GROUPS
-    try:  # parameterized via pyarrow (query vector + bucket); a failure
-        # must not take down the whole oracle dict (probe degrades to
-        # rows-only instead) — but it must be LOUD: a silent drop here
-        # shrinks the oracle gate with no signal (ADVICE r2).
-        oracles["q_ann_lsh_probe"] = A.oracle_ann_lsh_probe()
-        oracles["q_ann_lsh_buckets"] = A.oracle_ann_lsh_buckets()
-        oracles["q_ann_ivf_probe"] = A.oracle_ann_ivf_probe()
-        oracles["q_kmeans_train"] = A.oracle_kmeans_train()
-        oracles["q_ann_cosine_topk"] = A.oracle_ann_cosine_topk()
-    except Exception as e:
-        import sys
-        import traceback
-        print("WARNING __spark_entry__: parameterized ANN probe oracles "
-              f"degraded to rows-only: {e!r}", file=sys.stderr)
-        traceback.print_exc(file=sys.stderr)
+    # Parameterized via pyarrow (query vector + bucket); a failure must
+    # not take down the whole oracle dict (probe degrades to rows-only
+    # instead) — but it must be LOUD: a silent drop here shrinks the
+    # oracle gate with no signal (ADVICE r2). One try PER oracle so one
+    # bad render can't drag its siblings down with it.
+    for key, render in (
+        ("q_ann_lsh_probe", A.oracle_ann_lsh_probe),
+        ("q_ann_lsh_buckets", A.oracle_ann_lsh_buckets),
+        ("q_ann_ivf_probe", A.oracle_ann_ivf_probe),
+        ("q_kmeans_train", A.oracle_kmeans_train),
+        ("q_ann_cosine_topk", A.oracle_ann_cosine_topk),
+    ):
+        try:
+            oracles[key] = render()
+        except Exception as e:
+            import sys
+            import traceback
+            print(f"WARNING __spark_entry__: {key} oracle degraded to "
+                  f"rows-only: {e!r}", file=sys.stderr)
+            traceback.print_exc(file=sys.stderr)
     oracles["q_stream_window"] = S.ORACLE_STREAM_WINDOW
     oracles["q_stream_window_append"] = S.ORACLE_STREAM_WINDOW_APPEND
     oracles["q_stream_sessions"] = S.ORACLE_STREAM_SESSIONS

@@ -21,6 +21,20 @@ import time
 # only to veto premature early-stop — never reported as the measurement.
 _HISTORICAL_BEST_S = {0.1: 10.5, 0.01: 2.8}
 
+# The headline tail queries timed after q_extract — single source of
+# truth for both the timing loop and the guard-coverage check below.
+_TAIL_QUERIES = (
+    "q_hash_agg", "q_window_dedupe", "q_equi_join_3way", "q_topk",
+    "q_dedup_exact", "q_token_count", "q_fingerprint",
+    "q_minhash_pairs", "q_simhash", "q_ann_cosine_topk",
+    "q_pdf_extract", "q_image_decode", "q_repetition_filter",
+    # late-r4 corpus-maintenance flagships (adds ~2.5s to the suite
+    # total vs r3's query set)
+    "q_paragraph_dedup", "q_pagerank",
+    # late-r4 span-level dedup (adds ~1s vs the 16-query set)
+    "q_substring_dedup",
+)
+
 # Per-tail-query quiet-window bests at sf0.1 (best of BENCH_r2-r4 +
 # quiet-window re-lands). Same role as above: a recorded number >1.5×
 # its best for unchanged code is epoch noise (BENCH_r04 recorded
@@ -176,15 +190,7 @@ def main() -> None:
     import __spark_entry__ as entry
 
     qs = entry.queries()
-    for name in ("q_hash_agg", "q_window_dedupe", "q_equi_join_3way", "q_topk",
-                 "q_dedup_exact", "q_token_count", "q_fingerprint",
-                 "q_minhash_pairs", "q_simhash", "q_ann_cosine_topk",
-                 "q_pdf_extract", "q_image_decode", "q_repetition_filter",
-                 # late-r4 corpus-maintenance flagships (adds ~2.5s to
-                 # the suite total vs r3's query set)
-                 "q_paragraph_dedup", "q_pagerank",
-                 # late-r4 span-level dedup (adds ~1s vs the 16-query set)
-                 "q_substring_dedup"):
+    for name in _TAIL_QUERIES:
         best = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()
@@ -217,8 +223,16 @@ def main() -> None:
         extras["epoch_capped"] = sorted(epoch_capped)
         extras["epoch_capped_note"] = (
             "queries >1.5x their recorded quiet-window best after "
-            "retries; host-governor epoch, not a code regression "
-            "(BENCH/BASELINE.md)")
+            "retries — usually a host-governor epoch (BENCH/BASELINE.md) "
+            "but the guard cannot rule out a code regression; compare "
+            "against the per-query history before trusting either way")
+    # Desync trap: a timed query with no historical-best entry is
+    # recorded UNGUARDED (a governor epoch writes a bogus number for
+    # it) — surface the gap instead of hiding it.
+    if tail_best:
+        unguarded = sorted(n for n in _TAIL_QUERIES if n not in tail_best)
+        if unguarded:
+            extras["unguarded_tail"] = unguarded
 
     total = sum(timings.values())
     result = {

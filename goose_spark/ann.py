@@ -244,7 +244,22 @@ def q_ann_lsh_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _vectors_pyarrow(sf_dir: str):
-    """Oracle-side parameter source: read embeddings without Spark."""
+    """Oracle-side parameter source: read embeddings without Spark.
+    Cached per sf_dir — one oracle_sql() render calls this five times
+    (lsh probe/buckets, ivf, kmeans, cosine) and the parquet is static."""
+    return list(_vectors_pyarrow_cached(sf_dir))
+
+
+def _vectors_pyarrow_cached(sf_dir: str):
+    if sf_dir not in _VEC_CACHE:
+        _VEC_CACHE[sf_dir] = _read_query_vector(sf_dir)
+    return _VEC_CACHE[sf_dir]
+
+
+_VEC_CACHE: dict = {}
+
+
+def _read_query_vector(sf_dir: str):
     import os
 
     import pyarrow.parquet as pq
@@ -253,7 +268,7 @@ def _vectors_pyarrow(sf_dir: str):
                       columns=["vec_id", "embedding"])
     d = t.to_pydict()
     by_id = dict(zip(d["vec_id"], d["embedding"]))
-    return [float(x) for x in by_id[QUERY_VEC_ID]]
+    return tuple(float(x) for x in by_id[QUERY_VEC_ID])
 
 
 def oracle_ann_lsh_probe(sf_dir: str = "/root/testdata/sf0.01") -> str:

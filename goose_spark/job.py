@@ -122,20 +122,22 @@ def resume_filter_bucketed(spark: SparkSession, pages_table: str,
 
 def resume_filter(pages: DataFrame, checkpoint: DataFrame | None,
                   run_id: str | None = None,
-                  broadcast_cap_rows: int = 20_000_000) -> DataFrame:
+                  broadcast: bool = True) -> DataFrame:
     """B4: drop urls already completed — LEFT ANTI join against the
     checkpoint table. The checkpoint side is urls-only (small relative to
-    pages) and broadcast EXPLICITLY: relying on the size-stats threshold
-    let a stat-less checkpoint source degrade to a SortMergeJoin that
-    re-shuffled the fat pages side. No distinct() on the url set —
-    LeftAnti semantics are insensitive to right-side duplicates, and the
-    distinct was a whole extra shuffle of the url history for nothing.
+    pages) and broadcast EXPLICITLY by default: relying on the size-stats
+    threshold let a stat-less checkpoint source degrade to a
+    SortMergeJoin that re-shuffled the fat pages side. No distinct() on
+    the url set — LeftAnti semantics are insensitive to right-side
+    duplicates, and the distinct was a whole extra shuffle of the url
+    history for nothing.
 
-    broadcast_cap_rows restores graceful degradation: above the cap the
-    forced broadcast would OOM the driver/executors outright (urls-only
-    rows at ~100 B each → the default caps the build side around 2 GB),
-    so the join falls back to letting Catalyst/AQE pick the strategy.
-    The counting pass touches only the url/run_id columns. At 10^12-row
+    broadcast=False restores graceful degradation for a checkpoint too
+    big to build driver/executor-side (the forced hint would OOM
+    outright): the join falls back to Catalyst/AQE strategy choice.
+    This stays a pure plan-builder — the size decision belongs to the
+    caller, who can see the checkpoint's storage (run_job_df checks the
+    on-disk bytes; no extra Spark action per resume). At 10^12-row
     checkpoint scale use resume_filter_bucketed instead (co-bucketed
     zero-exchange SMJ; no broadcast, no re-shuffle of the fat side)."""
     if checkpoint is None:
@@ -144,14 +146,7 @@ def resume_filter(pages: DataFrame, checkpoint: DataFrame | None,
     if run_id is not None:
         ckpt = ckpt.filter(F.col("run_id") == run_id)
     urls = ckpt.select("url")
-    if urls.limit(broadcast_cap_rows + 1).count() > broadcast_cap_rows:
-        import warnings
-
-        warnings.warn(
-            f"resume_filter: checkpoint url set exceeds "
-            f"{broadcast_cap_rows} rows; skipping the forced broadcast "
-            "(use resume_filter_bucketed / a url-bucketed layout at this "
-            "scale)", stacklevel=2)
+    if not broadcast:
         return pages.join(urls, on="url", how="left_anti")
     return pages.join(F.broadcast(urls), on="url", how="left_anti")
 
@@ -221,9 +216,10 @@ def extract(pages: DataFrame, partitions: int | None = None,
 
 
 def prepare(pages: DataFrame, checkpoint: DataFrame | None = None,
-            run_id: str | None = None) -> DataFrame:
+            run_id: str | None = None, broadcast: bool = True) -> DataFrame:
     """dedupe → resume filter (the pre-extraction relational shell)."""
-    return resume_filter(dedupe_latest(pages), checkpoint, run_id)
+    return resume_filter(dedupe_latest(pages), checkpoint, run_id,
+                         broadcast=broadcast)
 
 
 def metrics_from_extracted(extracted: DataFrame, run_id: str) -> DataFrame:
@@ -335,10 +331,28 @@ def run_job_df(spark: SparkSession, pages: DataFrame, out_dir: str,
     ckpt_path = os.path.join(out_dir, "checkpoint")
 
     checkpoint = None
+    broadcast_ckpt = True
     if os.path.exists(ckpt_path):
         checkpoint = spark.read.parquet(ckpt_path)
+        # Driver-side size guard (no Spark action): a checkpoint whose
+        # parquet exceeds the cap would OOM the forced broadcast build
+        # (urls compress ~3-5x on disk → ~512 MB of files is already a
+        # multi-GB build side). Fall back to Catalyst/AQE choice; at
+        # 10^12-row history the answer is resume_filter_bucketed.
+        ckpt_bytes = sum(
+            os.path.getsize(os.path.join(root, f))
+            for root, _, files in os.walk(ckpt_path) for f in files)
+        if ckpt_bytes > 512 * 1024 * 1024:
+            import warnings
 
-    todo = prepare(pages, checkpoint, run_id)
+            warnings.warn(
+                f"run_job_df: checkpoint is {ckpt_bytes >> 20} MB on "
+                "disk; skipping the forced broadcast (consider the "
+                "url-bucketed layout + resume_filter_bucketed)",
+                stacklevel=2)
+            broadcast_ckpt = False
+
+    todo = prepare(pages, checkpoint, run_id, broadcast=broadcast_ckpt)
 
     # B20: partitioned append; partition by size bucket (dt at real
     # scale). Cluster by the partition column first: dynamic partition

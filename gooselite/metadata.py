@@ -233,9 +233,12 @@ def get_top_image(root: Node, url: str, idx: dict | None = None) -> str | None:
 # by the split in _score) so an article image named "...?from=digg"
 # isn't rejected.
 _BAD_IMAGE_RE = re.compile(
+    # digit boundaries around the tracker-dimension fragments so a
+    # legitimate "/photos/21x15/pic.jpg" isn't rejected for containing
+    # "1x1"; the brand/ad fragments stay unanchored like the lineage list
     r"\.html$|\.gif$|\.ico$|button|twitter\.jpg|facebook\.jpg|digg"
     r"|delicious|reddit\.|doubleclick|adserver|/ads?/|adsatt|spacer"
-    r"|\bpixel\b|1x1|mediaplex|atdmt", re.I)
+    r"|\bpixel\b|(?<!\d)1x1(?!\d)|mediaplex|atdmt", re.I)
 _MIN_IMG_DIM = 50      # goose-lineage: candidates under 50px are skipped
 _BANNER_RATIO = 5.0    # and extreme aspect ratios are ad banners/skyscrapers
 

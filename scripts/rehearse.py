@@ -48,7 +48,6 @@ def value_hash(tbl):
 
 def main(argv):
     import duckdb
-    import pyarrow as pa
     from pyspark.sql import SparkSession
 
     import __spark_entry__ as entry
@@ -70,11 +69,6 @@ def main(argv):
              # probes must not drift with the host TZ vs DuckDB's naive
              # timestamps
              .config("spark.sql.session.timeZone", "UTC")
-             # arrow-backed toPandas: the hash must see Spark's actual
-             # arrow schema — non-arrow toPandas lets pandas inference
-             # widen nullable int columns to float64, fabricating (or
-             # masking) type drifts the driver would never see
-             .config("spark.sql.execution.arrow.pyspark.enabled", "true")
              .getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
     osql = entry.oracle_sql()
@@ -88,7 +82,11 @@ def main(argv):
                "oracle_backed": name in osql}
         try:
             sdf = qs[name](spark, SF_DIR)
-            sp = pa.Table.from_pandas(sdf.toPandas())
+            # toArrow(): the hash must see Spark's ACTUAL arrow schema.
+            # A pandas round-trip lets inference widen nullable int
+            # columns to float64, fabricating (or masking) type drifts
+            # the driver — which collects true arrow — would never see.
+            sp = sdf.toArrow()
             rec["spark_rows"] = sp.num_rows
             if name in osql:
                 orc = con.execute(osql[name]).fetch_arrow_table()

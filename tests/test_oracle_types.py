@@ -31,9 +31,15 @@ def duck():
 
 
 # Rendered ONCE: oracle_sql() re-reads parquet for the parameterized ANN
-# oracles (~0.3 s/render) — per-test re-rendering added ~30 s of pure
-# redundant work to every pytest run.
-OSQL = entry.oracle_sql()
+# oracles — per-test re-rendering added ~30 s of pure redundant work to
+# every pytest run. Parametrize needs the names at collection time, so
+# the render can't live in a fixture; a render failure must skip THIS
+# module, not abort the whole session's collection.
+try:
+    OSQL = entry.oracle_sql()
+except Exception as e:  # noqa: BLE001 — e.g. missing sf0.01 fixtures
+    pytest.skip(f"oracle_sql() failed to render: {e!r}",
+                allow_module_level=True)
 ORACLES = sorted(OSQL.keys())
 
 
