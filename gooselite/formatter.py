@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from gooselite import constants as C
 from gooselite.minidom import Node, remove_all
-from gooselite.text import inner_trim, stopword_count_fast
+from gooselite.text import count_is_additive, inner_trim, stopword_count_fast
 
 
 def _remove_negativescore_nodes(top_node: Node) -> None:
@@ -31,9 +31,12 @@ def _remove_negativescore_nodes(top_node: Node) -> None:
 
 
 def _drop_tags(top_node: Node, tags: tuple[str, ...]) -> None:
-    for tag in tags:
-        for e in top_node.get_elements_by_tag(tag):
-            e.drop_tag()
+    # One walk for all tags (get_elements_by_tag concatenates PER TAG
+    # GROUP in document order — the canonical per-tag loop order).
+    # Unwrapping never adds/removes/reorders OTHER elements, so the
+    # pre-collected groups equal what per-tag re-walks would find.
+    for e in top_node.get_elements_by_tag(*tags):
+        e.drop_tag()
 
 
 def _remove_fewwords_paragraphs(top_node: Node, lang: str | None) -> None:
@@ -47,10 +50,41 @@ def _remove_fewwords_paragraphs(top_node: Node, lang: str | None) -> None:
     memoized bottom-up pass with a single batched removal — identical
     decisions, O(n) instead of the naive O(n²) on skew-tail pages.
     """
-    live_text: dict[int, str] = {}      # id(element) → text after pruning below it
     live_media: dict[int, int] = {}     # id(element) → live object/embed descendants
     doomed: list[Node] = []
     ordered = list(top_node.iter_elements())
+    if count_is_additive(lang):
+        # Default counter: count(" ".join(parts)) == sum(count(part))
+        # exactly (whitespace split; the joining space never merges
+        # tokens), so fold CHILD COUNTS bottom-up instead of recounting
+        # each ancestor's full concatenation — O(total text) instead of
+        # O(depth × text) on deep/fat pages, identical decisions.
+        live_cnt: dict[int, int] = {}   # id(element) → count after pruning
+        for e in reversed(ordered):
+            cnt = 0
+            desc_media = 0
+            for child in e.children:
+                if child.is_element:
+                    ccnt = live_cnt.get(id(child))
+                    if ccnt is None:  # child was doomed
+                        continue
+                    cnt += ccnt
+                    desc_media += live_media.get(id(child), 0)
+                elif child.tag == "#text" and child.text:
+                    cnt += stopword_count_fast(child.text, lang)
+            # exemption counts object/embed DESCENDANTS only (canonical
+            # getElementsByTag semantics — an element never matches itself)
+            if cnt < C.FORMATTER_MIN_PARA_STOPWORDS and desc_media == 0:
+                doomed.append(e)
+            else:
+                live_cnt[id(e)] = cnt
+                live_media[id(e)] = desc_media + (
+                    1 if e.tag in ("object", "embed") else 0)
+        remove_all(doomed)
+        return
+    # Segmenting counters (zh/ja/th/ko/ar): additivity across part
+    # boundaries is not asserted, so keep the exact concatenation.
+    live_text: dict[int, str] = {}      # id(element) → text after pruning below it
     for e in reversed(ordered):
         parts: list[str] = []
         desc_media = 0
@@ -92,7 +126,7 @@ def _convert_to_text(top_node: Node) -> str:
 
 def get_formatted_text(top_node: Node, lang: str | None) -> str:
     _remove_negativescore_nodes(top_node)
-    _drop_tags(top_node, ("a",))
-    _drop_tags(top_node, C.FORMATTER_DROP_TAGS)
+    # canonical order: <a> group first, then b/strong/i/br — one walk
+    _drop_tags(top_node, ("a",) + C.FORMATTER_DROP_TAGS)
     _remove_fewwords_paragraphs(top_node, lang)
     return _convert_to_text(top_node)

@@ -205,6 +205,19 @@ _VARIANT_COUNTERS = {"zh": _zh_count, "ko": _ko_count, "ar": _ar_count,
                      "ja": _ja_count, "th": _th_count}
 
 
+def count_is_additive(lang: str | None) -> bool:
+    """True when stopword_count_fast is exactly additive over
+    space-joined parts: count(" ".join(parts)) == sum(count(p)).
+
+    Holds for the default counter (whitespace split — a joining space
+    can never merge tokens); NOT asserted for the zh/ja/th/ko/ar
+    segmentation variants, whose substring/n-gram matching could in
+    principle see across a boundary. Callers use this to fold counts
+    bottom-up instead of recounting concatenations (formatter hot path).
+    """
+    return resolve_language(lang) not in _VARIANT_COUNTERS
+
+
 def stopword_count_fast(content: str, lang: str | None = None) -> int:
     """``get_stopword_count(content, lang).stop_word_count`` without the
     inner-trim and overlap-list allocations — the scoring hot path only

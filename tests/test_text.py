@@ -109,3 +109,30 @@ def test_variant_fast_path_agrees():
                        ("th", "นี่คือการทดสอบที่เราใช้ในงาน")):
         assert (stopword_count_fast(text, lang)
                 == get_stopword_count(text, lang).stop_word_count)
+
+
+def test_fewwords_additive_equals_concat_counts():
+    """The formatter's additive fast path must make the same decisions
+    as the canonical concatenate-then-count form: differential check on
+    the fixture corpus (non-segmenting langs route additive, zh/ja/th/
+    ko/ar route concat — both paths must emit identical bytes)."""
+    import pyarrow.parquet as pq
+
+    from gooselite import extract_one
+    from gooselite import formatter as FM
+    from goose_spark.fixtures import ensure_pages
+
+    pages_path, _ = ensure_pages("/root/testdata/sf0.001")
+    rows = pq.read_table(pages_path).to_pylist()[:120]
+
+    baseline = [extract_one(r["html"], r["lang"], r["url"])["cleaned_text"]
+                for r in rows]
+
+    orig = FM.count_is_additive
+    FM.count_is_additive = lambda lang: False  # force the concat path
+    try:
+        concat = [extract_one(r["html"], r["lang"], r["url"])["cleaned_text"]
+                  for r in rows]
+    finally:
+        FM.count_is_additive = orig
+    assert baseline == concat
