@@ -9,6 +9,7 @@ from __future__ import annotations
 import re
 import string
 from dataclasses import dataclass, field
+from functools import lru_cache
 
 from gooselite.stopwords_data import DEFAULT_LANGUAGE, STOPWORDS
 
@@ -230,10 +231,33 @@ def stopword_count_fast(content: str, lang: str | None = None) -> int:
     (whitespace split, empties dropped, trim-insensitive) yields the
     identical count; byte-identity is guarded by the golden suite.
     zh/ko/ar dispatch to their segmentation variants (module header).
+
+    Memoized on (content, resolved code): scoring + sibling absorption +
+    the formatter re-count the same node texts, and boilerplate chrome
+    repeats across pages — measured 87% repeated calls on the fixture
+    corpus, and the count is a pure function of its arguments. Only
+    short contents are cached: the repeat class is chrome (nav labels,
+    footers, bylines), while long article bodies are near-unique, so
+    caching them would pin megabytes of text per long-lived Spark
+    worker for no hit-rate. 65536 entries × ≤2 KiB keys bounds the
+    cache at ~128 MiB worst case, in practice far less.
     """
     if not content:
         return 0
-    code = resolve_language(lang)
+    if len(content) > _CACHEABLE_LEN:
+        return _stopword_count_uncached(content, resolve_language(lang))
+    return _stopword_count_cached(content, resolve_language(lang))
+
+
+_CACHEABLE_LEN = 2048
+
+
+@lru_cache(maxsize=65536)
+def _stopword_count_cached(content: str, code: str) -> int:
+    return _stopword_count_uncached(content, code)
+
+
+def _stopword_count_uncached(content: str, code: str) -> int:
     table = STOPWORDS[code]
     variant = _VARIANT_COUNTERS.get(code)
     if variant is not None:
