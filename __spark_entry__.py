@@ -339,6 +339,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # xxhash64 has no DuckDB twin; equality vs the string-key
         # version is pytest-asserted)
         "q_decontaminate_hashed": FL.q_decontaminate_hashed,
+        # r5 tail additions (window-stability contract): the CDX crawl
+        # index (SURT canonicalization + revisit detection) and CCNet's
+        # per-language head/middle/tail tercile bucketing
+        "q_cdx_index": CO.q_cdx_index,
+        "q_ccnet_buckets": FL.q_ccnet_buckets,
     }
 
 
@@ -394,6 +399,8 @@ def oracle_sql() -> dict[str, str]:
         "q_minhash_est_vs_exact": T.ORACLE_MINHASH_EST_VS_EXACT,
         "q_ngram_jaccard": T.ORACLE_NGRAM_JACCARD,
         "q_url_normalize": T.ORACLE_URL_NORMALIZE,
+        "q_cdx_index": CO.ORACLE_CDX_INDEX,
+        "q_ccnet_buckets": FL.ORACLE_CCNET_BUCKETS,
         "q_gopher_rules": T.ORACLE_GOPHER_RULES,
         "q_bpe_merge": T.ORACLE_BPE_MERGE,
         "q_jsonld_extract": ST.ORACLE_JSONLD_EXTRACT,

@@ -509,3 +509,118 @@ FROM j GROUP BY source
 
 
 ORACLE_HOST_STATS = _oracle_host_stats()
+
+
+# ------------------------------------------------------ CDX crawl index --
+# The crawl-side lookup artifact every Common-Crawl-style archive ships:
+# one index row per capture, keyed by the SURT-canonicalized URL
+# (lowercased host with the `www.` prefix and default port stripped,
+# host labels REVERSED so one host's captures sort adjacent, query
+# params sorted so param order never splits a URL), carrying the
+# content digest and a revisit marker for captures whose payload digest
+# was already seen (CDX `warc/revisit` semantics — the archive stores
+# the bytes once and the index points every later capture at them).
+# The probe synthesizes a deliberately messy raw URL per doc (mixed
+# case, alternating `WWW.` prefix, `:80` default port on every third
+# doc, query params out of order) and canonicalizes it FROM THE STRING
+# — the parse, not the synthesis, is the operator under test. Each URL
+# carries TWO crawl captures (the corpus has no exact-dup texts, so a
+# content-level collision must come from re-crawls, as it does in real
+# archives): the re-capture of an unchanged page (3 of every 4 docs)
+# has an identical payload and must be marked `revisit`; changed pages
+# (doc_id % 4 == 0, payload grows a ' v2' suffix) stay `response`.
+#
+# Scale shape: canonicalization + digest are pure codegen projections
+# (zero shuffle); revisit detection is ONE hash aggregate over the
+# 16-byte digest key with map-side combine plus a join back on that
+# same key (the q_dedup_exact discipline — the fat payload column
+# never shuffles, and AQE can split a viral payload's digest key). The
+# real index is then range-partitioned on surt_key and sorted within
+# partitions at write time (repartitionByRange + sortWithinPartitions,
+# the Spark form of CC's sharded cluster.idx); the driver compare is
+# order-insensitive so the probe returns the unsorted rows.
+_CDX_CHANGED_MOD = 4
+
+
+def q_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.lit("https://"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.col("source"), F.lit(".Example.COM"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(":80")).otherwise(F.lit("")),
+        F.lit("/d/"), F.col("doc_id").cast("string"),
+        F.lit("?b="), (F.col("doc_id") % 5).cast("string"),
+        F.lit("&a="), (F.col("doc_id") % 7).cast("string"))
+    caps = d.select(
+        "doc_id", raw.alias("url"), "text",
+        F.explode(F.array(F.lit(1), F.lit(2))).alias("capture"))
+    payload = F.when(
+        (F.col("capture") == 2) & (F.col("doc_id") % _CDX_CHANGED_MOD == 0),
+        F.concat(F.col("text"), F.lit(" v2"))).otherwise(F.col("text"))
+    base = caps.select(
+        "doc_id", "capture", "url",
+        F.md5(payload.cast("binary")).alias("digest"),
+        F.octet_length(payload).cast("long").alias("n_bytes"))
+    hostport = F.regexp_extract("url", r"^https://([^/]+)", 1)
+    host = F.regexp_replace(
+        F.regexp_replace(F.lower(hostport), r":80$", ""), r"^www\.", "")
+    path = F.lower(F.regexp_extract("url", r"^https://[^/]+([^?]*)", 1))
+    qsorted = F.array_join(
+        F.array_sort(F.split(F.regexp_extract("url", r"\?(.*)$", 1), "&")),
+        "&")
+    keyed = base.withColumn(
+        "surt_key",
+        F.concat(F.array_join(F.reverse(F.split(host, r"\.")), ","),
+                 F.lit(")"), path, F.lit("?"), qsorted))
+    counts = keyed.groupBy("digest").agg(
+        F.count(F.lit(1)).alias("n_copies"),
+        F.min("capture").alias("first_capture"))
+    return (keyed.join(counts, "digest")
+            .select("doc_id", "capture", "surt_key", "url", "digest",
+                    "n_bytes",
+                    F.when((F.col("n_copies") > 1)
+                           & (F.col("capture") != F.col("first_capture")),
+                           F.lit("revisit"))
+                    .otherwise(F.lit("response")).alias("record_type")))
+
+
+ORACLE_CDX_INDEX = rf"""
+WITH r AS (
+  SELECT doc_id, text,
+         'https://'
+          || CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END
+          || source || '.Example.COM'
+          || CASE WHEN doc_id % 3 = 0 THEN ':80' ELSE '' END
+          || '/d/' || CAST(doc_id AS VARCHAR)
+          || '?b=' || CAST(doc_id % 5 AS VARCHAR)
+          || '&a=' || CAST(doc_id % 7 AS VARCHAR) AS url
+  FROM documents),
+caps AS (
+  SELECT doc_id, url, CAST(capture AS INT) AS capture,
+         CASE WHEN capture = 2 AND doc_id % {_CDX_CHANGED_MOD} = 0
+              THEN text || ' v2' ELSE text END AS payload
+  FROM r, unnest([1, 2]) AS u(capture)),
+s AS (
+  SELECT doc_id, capture, url, md5(payload) AS digest,
+         CAST(octet_length(encode(payload)) AS BIGINT) AS n_bytes,
+         regexp_replace(regexp_replace(
+             lower(regexp_extract(url, '^https://([^/]+)', 1)),
+             ':80$', ''), '^www\.', '') AS host,
+         lower(regexp_extract(url, '^https://[^/]+([^?]*)', 1)) AS path,
+         regexp_extract(url, '\?(.*)$', 1) AS q
+  FROM caps),
+k AS (
+  SELECT doc_id, capture, url, digest, n_bytes,
+         array_to_string(list_reverse(string_split(host, '.')), ',')
+          || ')' || path || '?'
+          || array_to_string(list_sort(string_split(q, '&')), '&')
+             AS surt_key
+  FROM s),
+c AS (SELECT digest, COUNT(*) AS n_copies, MIN(capture) AS first_capture
+      FROM k GROUP BY digest)
+SELECT k.doc_id, k.capture, surt_key, url, k.digest, n_bytes,
+       CASE WHEN n_copies > 1 AND k.capture <> first_capture
+            THEN 'revisit' ELSE 'response' END AS record_type
+FROM k JOIN c USING (digest)
+"""

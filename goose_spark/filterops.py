@@ -633,3 +633,78 @@ e{ep} AS (
 
 
 ORACLE_PERCEPTRON_TRAIN = _oracle_perceptron_train()
+
+
+# ----------------------------------------- CCNet head/middle/tail buckets --
+# CCNet's defining move: score every document with a language-model
+# signal, split each LANGUAGE into exact head/middle/tail terciles of
+# that score, and let downstream consumers pick buckets (train on head,
+# sample middle, drop tail). This box is offline, so the probe's score
+# is the standard lexical-diversity proxy (distinct-token fraction,
+# fixed-point x1e6 — the same integer-exact discipline as the other
+# filter probes); the bucketing machinery is the operator under test
+# and is score-agnostic: swap in a perplexity column and nothing else
+# changes.
+#
+# Scale shape: a naive per-lang NTILE is a global per-lang sort — one
+# language's 10^11 rows land in one window partition. Instead the
+# terciles come from the q_length_quantiles discipline: aggregate to a
+# (lang, score) histogram FIRST (map-side combine, output bounded by
+# distinct score values <= 1e6 per lang regardless of corpus size), run
+# the cumulative window over the tiny histogram, reduce to one
+# (t1, t2) row per lang, and broadcast-join the thresholds back onto
+# the corpus — the only wide exchange is the histogram aggregate on a
+# (lang, score) key no hotter than the corpus' language skew, which is
+# exactly what AQE splits.
+
+
+def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    s = d.select(
+        "doc_id", "lang",
+        (F.size(F.array_distinct(toks)).cast("long") * 1000000).alias("num"),
+        F.size(toks).cast("long").alias("den"),
+    ).select("doc_id", "lang", F.expr("num div den").alias("score"))
+    hist = s.groupBy("lang", "score").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("lang").orderBy("score")
+    wall = Window.partitionBy("lang")
+    cum = (hist.withColumn("cum", F.sum("c").over(w))
+           .withColumn("n", F.sum("c").over(wall)))
+    thr = cum.groupBy("lang").agg(
+        F.min(F.when(F.col("cum") * 3 >= F.col("n"),
+                     F.col("score"))).alias("t1"),
+        F.min(F.when(F.col("cum") * 3 >= F.col("n") * 2,
+                     F.col("score"))).alias("t2"))
+    return (s.join(F.broadcast(thr), "lang")
+            .select("doc_id", "lang", "score",
+                    F.when(F.col("score") <= F.col("t1"), F.lit("tail"))
+                    .when(F.col("score") <= F.col("t2"), F.lit("middle"))
+                    .otherwise(F.lit("head")).alias("bucket")))
+
+
+ORACLE_CCNET_BUCKETS = r"""
+WITH s AS (
+  SELECT doc_id, lang,
+         (CAST(len(list_distinct(string_split_regex(trim(text), '\s+')))
+               AS BIGINT) * 1000000)
+         // CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+             AS score
+  FROM documents),
+hist AS (SELECT lang, score, COUNT(*) AS c FROM s GROUP BY 1, 2),
+cum AS (
+  SELECT lang, score,
+         SUM(c) OVER (PARTITION BY lang ORDER BY score) AS cum,
+         SUM(c) OVER (PARTITION BY lang) AS n
+  FROM hist),
+thr AS (
+  SELECT lang,
+         MIN(CASE WHEN cum * 3 >= n THEN score END) AS t1,
+         MIN(CASE WHEN cum * 3 >= n * 2 THEN score END) AS t2
+  FROM cum GROUP BY lang)
+SELECT doc_id, s.lang, score,
+       CASE WHEN score <= t1 THEN 'tail'
+            WHEN score <= t2 THEN 'middle'
+            ELSE 'head' END AS bucket
+FROM s JOIN thr ON s.lang = thr.lang
+"""
