@@ -344,6 +344,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # per-language head/middle/tail tercile bucketing
         "q_cdx_index": CO.q_cdx_index,
         "q_ccnet_buckets": FL.q_ccnet_buckets,
+        # completes the WARC/WET/WAT container triple: metadata-record
+        # JSON envelopes written by write_wat and parsed back
+        "q_wat_export": W.q_wat_export,
     }
 
 
@@ -401,6 +404,7 @@ def oracle_sql() -> dict[str, str]:
         "q_url_normalize": T.ORACLE_URL_NORMALIZE,
         "q_cdx_index": CO.ORACLE_CDX_INDEX,
         "q_ccnet_buckets": FL.ORACLE_CCNET_BUCKETS,
+        "q_wat_export": W.ORACLE_WAT_EXPORT,
         "q_gopher_rules": T.ORACLE_GOPHER_RULES,
         "q_bpe_merge": T.ORACLE_BPE_MERGE,
         "q_jsonld_extract": ST.ORACLE_JSONLD_EXTRACT,

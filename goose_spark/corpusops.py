@@ -287,10 +287,33 @@ LIMIT {PMI_TOP_K}
 # set equals q_pagerank's own edges.
 
 
+def synth_link_page(doc_id: int, source: str, n: int) -> tuple:
+    """Deterministic (page_url, html) for the link-graph probes: doc_id%3+1
+    outlinks exercising root-relative / parent-relative / absolute hrefs,
+    plus a <title> for the WAT metadata probe. Shared by _link_pages and
+    warcops._wat_batches so the link formula has ONE definition."""
+    from goose_spark.components import PR_ADD, PR_MULT
+
+    page_url = f"https://{source}.example/d/{doc_id}"
+    anchors = []
+    for k in range(doc_id % 3 + 1):
+        t = (doc_id * PR_MULT[k] + PR_ADD[k]) % n
+        if k == 0:
+            href = f"/d/{t}"                        # root-relative
+        elif k == 1:
+            href = f"../d/{t}"                      # needs '..'
+        else:
+            href = f"https://{source}.example/d/{t}"  # absolute
+        anchors.append(f'<a href="{href}">link {k}</a>')
+    html = (f"<html><head><title>doc {doc_id}</title></head>"
+            f"<body><nav>{' '.join(anchors)}</nav>"
+            f"<p>article body</p></body></html>")
+    return page_url, html
+
+
 def _link_pages(batches):
     from urllib.parse import urljoin
 
-    from goose_spark.components import PR_ADD, PR_MULT
     from gooselite.minidom import parse_html
 
     for pdf in batches:
@@ -298,19 +321,7 @@ def _link_pages(batches):
         for doc_id, source, n in zip(
                 pdf["doc_id"], pdf["source"], pdf["n"]):
             doc_id, n = int(doc_id), int(n)
-            page_url = f"https://{source}.example/d/{doc_id}"
-            anchors = []
-            for k in range(doc_id % 3 + 1):
-                t = (doc_id * PR_MULT[k] + PR_ADD[k]) % n
-                if k == 0:
-                    href = f"/d/{t}"                        # root-relative
-                elif k == 1:
-                    href = f"../d/{t}"                      # needs '..'
-                else:
-                    href = f"https://{source}.example/d/{t}"  # absolute
-                anchors.append(f'<a href="{href}">link {k}</a>')
-            html = (f"<html><body><nav>{' '.join(anchors)}</nav>"
-                    f"<p>article body</p></body></html>")
+            page_url, html = synth_link_page(doc_id, source, n)
             root = parse_html(html)
             for pos, a in enumerate(root.get_elements_by_tag("a")):
                 href = (a.attrib or {}).get("href")

@@ -259,3 +259,123 @@ SELECT doc_id, md5(text) AS payload_md5, CAST(200 AS BIGINT) AS http_status
 FROM documents
 WHERE doc_id % {_SALVAGE_DROP_MOD} <> {_SALVAGE_DROP_RESIDUE}
 """
+
+
+# ----------------------------------------------------------- WAT export --
+# Completes the archive-container triple (WARC raw captures /
+# q_warc_roundtrip, WET extracted text / q_wet_export, WAT metadata /
+# this probe). Each page's html (the shared synth from
+# corpusops.synth_link_page — ONE definition of the outlink formula) is
+# parsed with the real DOM parser; its <title> and resolved outlinks
+# become the page's JSON envelope (canonical form: sorted keys, no
+# whitespace); the envelopes are serialized as WARC `metadata` records
+# by gooselite.warc.write_wat and parsed BACK by read_warc — the
+# emitted rows come from the parsed-back records, so the value hash
+# gates metadata-record framing and JSON canonicalization end to end
+# (the oracle rebuilds the exact envelope string closed-form and md5s
+# it).
+#
+# Scale shape (100 TB): one linear mapInPandas pass, no shuffle; the
+# broadcast 1-row count feeds the synth only (a real crawl reads html
+# from the pages table and the crossJoin drops out).
+
+
+def _wat_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import json as _json
+    from urllib.parse import urljoin
+
+    from goose_spark.corpusops import synth_link_page
+    from gooselite.minidom import parse_html
+    from gooselite.warc import read_warc, write_wat
+
+    for batch in it:
+        if not len(batch):
+            continue
+        entries = []
+        for i, source, n in zip(batch["doc_id"], batch["source"],
+                                batch["n"]):
+            page_url, html = synth_link_page(int(i), source, int(n))
+            root = parse_html(html)
+            titles = root.get_elements_by_tag("title")
+            links = [urljoin(page_url, (a.attrib or {}).get("href"))
+                     for a in root.get_elements_by_tag("a")
+                     if (a.attrib or {}).get("href")]
+            env = {"links": links,
+                   "title": titles[0].get_text().strip() if titles else "",
+                   "url": page_url}
+            entries.append((page_url, _json.dumps(
+                env, sort_keys=True, separators=(",", ":")).encode()))
+        blob = write_wat(entries, gzip_records=True)
+        recs = [r for r in read_warc(blob) if r.rec_type == "metadata"]
+        rows = {"doc_id": [], "url": [], "title": [], "n_links": [],
+                "links": [], "wat_md5": []}
+        for r in recs:
+            env = _json.loads(r.payload)
+            rows["doc_id"].append(int(env["url"].rsplit("/", 1)[1]))
+            rows["url"].append(env["url"])
+            rows["title"].append(env["title"])
+            rows["n_links"].append(len(env["links"]))
+            rows["links"].append("|".join(env["links"]))
+            rows["wat_md5"].append(hashlib.md5(r.payload).hexdigest())
+        yield pd.DataFrame({
+            "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+            "url": pd.Series(rows["url"], dtype="object"),
+            "title": pd.Series(rows["title"], dtype="object"),
+            "n_links": pd.Series(rows["n_links"], dtype="int32"),
+            "links": pd.Series(rows["links"], dtype="object"),
+            "wat_md5": pd.Series(rows["wat_md5"], dtype="object"),
+        })
+
+
+def q_wat_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    d = load(spark, sf_dir, "documents")
+    n_df = d.groupBy().agg(F.count(F.lit(1)).alias("n"))
+    src = d.select("doc_id", "source").crossJoin(F.broadcast(n_df))
+    return src.mapInPandas(
+        _wat_batches,
+        schema=("doc_id long, url string, title string, n_links int, "
+                "links string, wat_md5 string"))
+
+
+def _oracle_wat_export() -> str:
+    from goose_spark.components import PR_ADD, PR_MULT
+
+    return f"""
+WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+d AS (SELECT doc_id, source, n,
+             'https://' || source || '.example/d/' ||
+             CAST(doc_id AS VARCHAR) AS url
+      FROM documents, nn),
+e AS (SELECT doc_id, url, source, n,
+             unnest(generate_series(0, CAST(doc_id % 3 AS INT))) AS pos
+      FROM d),
+edges AS (
+  SELECT doc_id, url, pos,
+         'https://' || source || '.example/d/' ||
+         CAST((doc_id * (CASE WHEN pos = 0 THEN {PR_MULT[0]}
+                              WHEN pos = 1 THEN {PR_MULT[1]}
+                              ELSE {PR_MULT[2]} END)
+               + (CASE WHEN pos = 0 THEN {PR_ADD[0]}
+                       WHEN pos = 1 THEN {PR_ADD[1]}
+                       ELSE {PR_ADD[2]} END)) % n AS VARCHAR) AS dst_url
+  FROM e),
+agg AS (
+  SELECT doc_id, url, list(dst_url ORDER BY pos) AS links
+  FROM edges GROUP BY doc_id, url),
+env AS (
+  SELECT doc_id, url, links,
+         '{{"links":["' || array_to_string(links, '","')
+          || '"],"title":"doc ' || CAST(doc_id AS VARCHAR)
+          || '","url":"' || url || '"}}' AS payload
+  FROM agg)
+SELECT doc_id, url, 'doc ' || CAST(doc_id AS VARCHAR) AS title,
+       CAST(len(links) AS INT) AS n_links,
+       array_to_string(links, '|') AS links,
+       md5(payload) AS wat_md5
+FROM env
+"""
+
+
+ORACLE_WAT_EXPORT = _oracle_wat_export()

@@ -103,6 +103,32 @@ def write_wet(docs, warc_date: str = "2026-01-01T00:00:00Z",
     return b"".join(records)
 
 
+def write_wat(entries, warc_date: str = "2026-01-01T00:00:00Z",
+              gzip_records: bool = True, with_warcinfo: bool = True) -> bytes:
+    """Serialize (url, json_payload_bytes) pairs as a WAT file — Common
+    Crawl's metadata sidecar: the same WARC/1.0 framing, but each page
+    is a ``metadata`` record whose body is the page's JSON envelope
+    (outlinks, title, headers …), plus the leading warcinfo."""
+    records: List[bytes] = []
+    if with_warcinfo:
+        info = (b"software: gooselite-warc/1.0\r\n"
+                b"format: WARC File Format 1.0\r\n"
+                b"conformsTo: WAT metadata sidecar\r\n")
+        records.append(_record_bytes(
+            [("WARC-Type", "warcinfo"), ("WARC-Date", warc_date),
+             ("Content-Type", "application/warc-fields")], info))
+    for url, payload in entries:
+        body = payload if isinstance(payload, (bytes, bytearray)) \
+            else str(payload).encode("utf-8")
+        records.append(_record_bytes(
+            [("WARC-Type", "metadata"), ("WARC-Date", warc_date),
+             ("WARC-Target-URI", url),
+             ("Content-Type", "application/json")], bytes(body)))
+    if gzip_records:
+        return b"".join(_gzip_member(r) for r in records)
+    return b"".join(records)
+
+
 def _inflate_members(b: bytes) -> bytes:
     """Concatenate all gzip members; pass through uncompressed input."""
     if b[:2] != b"\x1f\x8b":
