@@ -347,6 +347,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # completes the WARC/WET/WAT container triple: metadata-record
         # JSON envelopes written by write_wat and parsed back
         "q_wat_export": W.q_wat_export,
+        # CCNet's trainable half: unigram-LM surprisal (train = capped
+        # vocab aggregate, score = broadcast join + floor-log2 bits)
+        "q_unigram_lm_score": FL.q_unigram_lm_score,
     }
 
 
@@ -405,6 +408,7 @@ def oracle_sql() -> dict[str, str]:
         "q_cdx_index": CO.ORACLE_CDX_INDEX,
         "q_ccnet_buckets": FL.ORACLE_CCNET_BUCKETS,
         "q_wat_export": W.ORACLE_WAT_EXPORT,
+        "q_unigram_lm_score": FL.ORACLE_UNIGRAM_LM_SCORE,
         "q_gopher_rules": T.ORACLE_GOPHER_RULES,
         "q_bpe_merge": T.ORACLE_BPE_MERGE,
         "q_jsonld_extract": ST.ORACLE_JSONLD_EXTRACT,

@@ -708,3 +708,76 @@ SELECT doc_id, s.lang, score,
             ELSE 'head' END AS bucket
 FROM s JOIN thr ON s.lang = thr.lang
 """
+
+
+# ------------------------------------------------ unigram LM surprisal --
+# The trainable half of the CCNet quality signal: CCNet scores every
+# document with a language-model perplexity; the distributable form of
+# that statistic is (1) TRAIN: one vocabulary-keyed count aggregate
+# over the corpus, capped to the top-V terms exactly like a deployed
+# KenLM vocab is bounded, and (2) SCORE: per-token surprisal
+# -log2 p(token) summed per document, out-of-vocabulary tokens scored
+# at the count-1 floor. Exact-integer discipline: log2 is evaluated in
+# floor space as length(bin(x))-1 — bit-identical in both engines — so
+# the probe's "bits" are integer floor-log2 bits, the same monotone
+# ordering as the float statistic without any cross-engine float risk.
+# V is 16 here (the synthetic corpus has 31 distinct tokens, so the
+# OOV arm is live at grading scale); at 10^12 docs V is the deployed
+# vocab bound (10^6-ish) and everything below still holds.
+#
+# Scale shape: train is ONE (term, long) hash aggregate with map-side
+# combine (tokens explode but combine collapses them before the
+# exchange); the top-V cut is TakeOrderedAndProject (never a global
+# window); scoring broadcast-joins the V-row vocab onto the exploded
+# tokens — the fat text column dies at the first projection and tokens
+# never shuffle; the per-doc sum re-aggregates on doc_id with map-side
+# combine. Two corpus passes, one bounded exchange each.
+UNIGRAM_TOP_V = 16
+
+
+def q_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from goose_spark.queries import load as _load
+
+    d = _load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))),
+                          r"\s+")).alias("term"))
+    vocab_full = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    n_total = vocab_full.agg(F.sum("c").alias("n_total"))
+    vocab = (vocab_full.orderBy(F.col("c").desc(), F.col("term"))
+             .limit(UNIGRAM_TOP_V))
+    bits = (F.length(F.bin(F.col("n_total"))) - 1
+            - F.when(F.col("c").isNull(), F.lit(0))
+            .otherwise(F.length(F.bin(F.col("c"))) - 1))
+    scored = (toks.join(F.broadcast(vocab), "term", "left")
+              .crossJoin(F.broadcast(n_total))
+              .select("doc_id", bits.alias("s")))
+    return (scored.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 F.sum("s").alias("surprisal_bits"))
+            .select("doc_id", "n_tokens", "surprisal_bits",
+                    F.expr("(surprisal_bits * 1000) div n_tokens")
+                    .alias("bits_x1000")))
+
+
+ORACLE_UNIGRAM_LM_SCORE = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+  FROM documents),
+vocab_full AS (SELECT term, COUNT(*) AS c FROM toks GROUP BY term),
+nt AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total FROM vocab_full),
+vocab AS (SELECT term, c FROM vocab_full
+          ORDER BY c DESC, term LIMIT {UNIGRAM_TOP_V}),
+s AS (
+  SELECT t.doc_id,
+         (length(bin(n_total)) - 1
+          - CASE WHEN v.c IS NULL THEN 0
+                 ELSE length(bin(v.c)) - 1 END) AS s
+  FROM toks t LEFT JOIN vocab v USING (term) CROSS JOIN nt)
+SELECT doc_id, COUNT(*) AS n_tokens,
+       CAST(SUM(s) AS BIGINT) AS surprisal_bits,
+       CAST(SUM(s) AS BIGINT) * 1000 // COUNT(*) AS bits_x1000
+FROM s GROUP BY doc_id
+"""

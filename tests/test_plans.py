@@ -417,3 +417,51 @@ def test_training_loop_epoch_plans_stay_jvm(spark):
     tree = plan.split("\n\n")[0]
     assert "EvalPython" not in plan
     assert tree.count("HashAggregate") >= 2  # partial + final
+
+
+def test_ccnet_buckets_histogram_then_broadcast(spark):
+    """Tercile thresholds must come from the (lang, score) histogram
+    (HashAggregate before the Window) and rejoin the corpus by
+    BROADCAST — a shuffle join on lang re-keys the whole corpus on the
+    skewed language key; all codegen, no Python eval."""
+    from goose_spark import filterops as FL
+
+    plan = _plan(FL.q_ccnet_buckets(spark, SF))
+    assert "EvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
+    tree = plan.split("\n\n")[0]
+    lines = tree.splitlines()
+    agg_idx = [i for i, l in enumerate(lines) if "HashAggregate" in l]
+    win_idx = [i for i, l in enumerate(lines) if "Window" in l]
+    assert agg_idx and win_idx
+    assert max(agg_idx) > min(win_idx)
+
+
+def test_cdx_index_digest_keyed_join_no_payload_shuffle(spark):
+    """Revisit detection shuffles the 16-byte digest key, never the
+    payload: no plan column list may carry `text` past the first
+    projection into an Exchange; all codegen."""
+    from goose_spark import corpusops as CO
+
+    plan = _plan(CO.q_cdx_index(spark, SF))
+    assert "EvalPython" not in plan
+    tree = plan.split("\n\n")[0]
+    ex_lines = [l for l in tree.splitlines() if "Exchange" in l]
+    assert ex_lines, "expected the digest aggregate exchange"
+    # the details section lists each Exchange's partitioning key
+    for seg in plan.split("Exchange")[1:]:
+        head = seg[:200]
+        assert "text#" not in head
+
+
+def test_unigram_lm_vocab_topv_and_broadcast(spark):
+    """The top-V vocab cut must be TakeOrderedAndProject (never a
+    global-window sort over the vocabulary) and the score join must
+    broadcast the V-row vocab; per-doc re-agg stays a HashAggregate."""
+    from goose_spark import filterops as FL
+
+    plan = _plan(FL.q_unigram_lm_score(spark, SF))
+    assert "EvalPython" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan.split("\n\n")[0]
