@@ -350,6 +350,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # CCNet's trainable half: unigram-LM surprisal (train = capped
         # vocab aggregate, score = broadcast join + floor-log2 bits)
         "q_unigram_lm_score": FL.q_unigram_lm_score,
+        # crawl discovery's third channel: Atom feed parse round-trip
+        "q_feed_parse": RB.q_feed_parse,
     }
 
 
@@ -409,6 +411,7 @@ def oracle_sql() -> dict[str, str]:
         "q_ccnet_buckets": FL.ORACLE_CCNET_BUCKETS,
         "q_wat_export": W.ORACLE_WAT_EXPORT,
         "q_unigram_lm_score": FL.ORACLE_UNIGRAM_LM_SCORE,
+        "q_feed_parse": RB.ORACLE_FEED_PARSE,
         "q_gopher_rules": T.ORACLE_GOPHER_RULES,
         "q_bpe_merge": T.ORACLE_BPE_MERGE,
         "q_jsonld_extract": ST.ORACLE_JSONLD_EXTRACT,

@@ -305,3 +305,96 @@ UNION ALL SELECT 1, 'robots_allowed', c1 FROM a
 UNION ALL SELECT 2, 'not_seen', c2 FROM a
 UNION ALL SELECT 3, 'first_batch', c3 FROM a
 """
+
+
+# ------------------------------------------------------ Atom feed parse --
+# Crawl discovery's third channel beside robots.txt sitemaps and page
+# outlinks: site feeds. One Atom feed per host is synthesized as REAL
+# XML by a JVM aggregate (entry fields keyed on doc_id, entries in
+# sorted-id document order), then parsed back by gooselite.minidom in
+# one mapInPandas pass — Atom rather than RSS 2.0 because RSS puts the
+# article URL in <link>TEXT</link> and `link` is an HTML void element
+# (an HTML-recovery parser drops its text child), while Atom's
+# <link href="..."/> is attribute-carried and parses exactly; the
+# practical rule for feed ingestion through an HTML-tolerant parser.
+# The DuckDB oracle recomputes every field closed-form and never sees
+# XML, so a hash match proves the parse round-trip including entry
+# order (pos = document order within the feed).
+#
+# Scale shape: same as q_sitemap_parse — feeds are per-host documents,
+# the build side is a host-keyed aggregate with protocol-bounded
+# groups, and the parse is one linear mapInPandas pass over
+# (host, xml) rows; no corpus shuffle in either direction.
+
+_FEED_XML = (
+    "concat('<?xml version=\"1.0\" encoding=\"UTF-8\"?>"
+    "<feed xmlns=\"http://www.w3.org/2005/Atom\"><title>', source, "
+    "'</title>',"
+    " array_join(transform(array_sort(collect_list(doc_id)), i -> concat("
+    "   '<entry><title>Article ', cast(i as string), '</title>',"
+    "   '<link href=\"https://', source, '.example/d/', cast(i as string),"
+    "   '\"/>',"
+    "   '<id>urn:doc:', cast(i as string), '</id>',"
+    "   '<updated>2026-', lpad(cast(i % 12 + 1 as string), 2, '0'), '-',"
+    "   lpad(cast(i % 28 + 1 as string), 2, '0'),"
+    "   'T00:00:00Z</updated></entry>')), ''),"
+    " '</feed>')"
+)
+
+
+def _feed_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from gooselite.minidom import parse_html
+
+    for batch in it:
+        if not len(batch):
+            continue
+        rows = {"source": [], "pos": [], "title": [], "link": [],
+                "entry_id": [], "updated": []}
+        for source, xml in zip(batch["source"], batch["xml"]):
+            root = parse_html(xml)
+            for pos, e in enumerate(root.get_elements_by_tag("entry")):
+                t = e.get_elements_by_tag("title")
+                ln = e.get_elements_by_tag("link")
+                eid = e.get_elements_by_tag("id")
+                up = e.get_elements_by_tag("updated")
+                rows["source"].append(source)
+                rows["pos"].append(pos)
+                rows["title"].append(t[0].get_text() if t else "")
+                rows["link"].append(
+                    (ln[0].attrib or {}).get("href", "") if ln else "")
+                rows["entry_id"].append(eid[0].get_text() if eid else "")
+                rows["updated"].append(up[0].get_text() if up else "")
+        yield pd.DataFrame({
+            "source": pd.Series(rows["source"], dtype="object"),
+            "pos": pd.Series(rows["pos"], dtype="int32"),
+            "title": pd.Series(rows["title"], dtype="object"),
+            "link": pd.Series(rows["link"], dtype="object"),
+            "entry_id": pd.Series(rows["entry_id"], dtype="object"),
+            "updated": pd.Series(rows["updated"], dtype="object"),
+        })
+
+
+def q_feed_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    d = load(spark, sf_dir, "documents")
+    feeds = d.groupBy("source").agg(F.expr(_FEED_XML).alias("xml"))
+    return feeds.mapInPandas(
+        _feed_batches,
+        schema=("source string, pos int, title string, link string,"
+                " entry_id string, updated string"))
+
+
+ORACLE_FEED_PARSE = """
+SELECT source,
+       CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) - 1
+            AS INT) AS pos,
+       'Article ' || CAST(doc_id AS VARCHAR) AS title,
+       'https://' || source || '.example/d/' || CAST(doc_id AS VARCHAR)
+           AS link,
+       'urn:doc:' || CAST(doc_id AS VARCHAR) AS entry_id,
+       '2026-' || lpad(CAST(doc_id % 12 + 1 AS VARCHAR), 2, '0') || '-' ||
+           lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') || 'T00:00:00Z'
+           AS updated
+FROM documents
+"""
