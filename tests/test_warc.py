@@ -114,6 +114,23 @@ def test_wet_roundtrip_conversion_records():
         assert all(r.http_status is None for r in conv)
 
 
+def test_wat_roundtrip_metadata_records():
+    from gooselite.warc import read_warc, write_wat
+
+    entries = [("https://x/1", b'{"links":[],"title":"a","url":"https://x/1"}'),
+               ("https://x/2", '{"title":"üñí"}'),  # str payload path
+               ("https://x/3", b"")]
+    for gz in (True, False):
+        blob = write_wat(entries, gzip_records=gz)
+        recs = read_warc(blob)
+        assert recs[0].rec_type == "warcinfo"
+        meta = [r for r in recs if r.rec_type == "metadata"]
+        assert [(r.url, r.payload) for r in meta] == [
+            (u, p if isinstance(p, bytes) else p.encode("utf-8"))
+            for u, p in entries]
+        assert all(r.http_status is None for r in meta)
+
+
 def test_salvage_drops_only_corrupt_members_and_counts():
     """One flipped byte in a member drops ONLY that member: preceding
     and following members (incl. the same doc's warcinfo/request)
