@@ -352,6 +352,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_unigram_lm_score": FL.q_unigram_lm_score,
         # crawl discovery's third channel: Atom feed parse round-trip
         "q_feed_parse": RB.q_feed_parse,
+        # ftfy-class cleanup: latin-1 double-encoding repair, oracle
+        # derived closed-form (never corrupts or repairs)
+        "q_mojibake_repair": EN.q_mojibake_repair,
     }
 
 
@@ -412,6 +415,7 @@ def oracle_sql() -> dict[str, str]:
         "q_wat_export": W.ORACLE_WAT_EXPORT,
         "q_unigram_lm_score": FL.ORACLE_UNIGRAM_LM_SCORE,
         "q_feed_parse": RB.ORACLE_FEED_PARSE,
+        "q_mojibake_repair": EN.ORACLE_MOJIBAKE_REPAIR,
         "q_gopher_rules": T.ORACLE_GOPHER_RULES,
         "q_bpe_merge": T.ORACLE_BPE_MERGE,
         "q_jsonld_extract": ST.ORACLE_JSONLD_EXTRACT,

@@ -141,3 +141,65 @@ SELECT doc_id,
        md5(nfc) AS nfc_md5
 FROM n
 """
+
+
+# ----------------------------------------------------- mojibake repair --
+# The ftfy-class cleanup every web corpus needs: text that was utf-8 on
+# the wire but got decoded as latin-1 somewhere upstream ("café" →
+# "cafÃ©") must be detected and repaired before dedup/quality scoring
+# (mojibake defeats exact dedup the same way NFC drift does). The
+# corruption is synthesized JVM-side with the REAL byte mechanics —
+# decode(encode(s,'UTF-8'),'ISO-8859-1'), pure codegen, no fixture —
+# over three decoration arms (latin-1-range accents / CJK multi-byte /
+# pure-ascii no-op, all live at grading scale); the repair UDF inverts
+# it (latin-1 re-encode → utf-8 decode, falling back to the input when
+# the bytes are not valid utf-8, i.e. text that was never mojibake).
+# The DuckDB oracle never performs either step: it derives every output
+# closed-form from the decorated string (mojibake codepoint count ==
+# the decorated string's utf-8 BYTE count; repaired md5 == the
+# decorated string's md5; the flag == "decoration has non-ascii
+# bytes"), so a hash match proves corrupt+repair is the exact identity
+# through two independent routes.
+#
+# Scale shape: scan → project, ONE Arrow-batched UDF evaluation, zero
+# shuffles — same plan as q_unicode_nfc.
+_MOJI_SYNTH = (
+    "concat(text, CASE WHEN doc_id % 3 = 0 THEN ' café señor'"
+    " WHEN doc_id % 3 = 1 THEN ' 漢字テスト' ELSE '' END)"
+)
+
+
+def q_mojibake_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _repair(s: pd.Series) -> pd.Series:
+        def fix(x):
+            try:
+                return x.encode("latin-1").decode("utf-8")
+            except (UnicodeEncodeError, UnicodeDecodeError):
+                return x
+
+        return s.map(fix)
+
+    d = load(spark, sf_dir, "documents")
+    decorated = F.expr(_MOJI_SYNTH)
+    moji = F.decode(F.encode(decorated, "UTF-8"), "ISO-8859-1")
+    return d.select(
+        "doc_id",
+        F.length(moji).cast("long").alias("n_cp_moji"),
+        (moji != decorated).alias("was_mojibake"),
+        F.md5(_repair(moji).cast("binary")).alias("repaired_md5"),
+    )
+
+
+ORACLE_MOJIBAKE_REPAIR = f"""
+WITH t AS (SELECT doc_id, {_MOJI_SYNTH} AS decorated FROM documents)
+SELECT doc_id,
+       CAST(octet_length(encode(decorated)) AS BIGINT) AS n_cp_moji,
+       octet_length(encode(decorated)) <> length(decorated)
+           AS was_mojibake,
+       md5(decorated) AS repaired_md5
+FROM t
+"""
