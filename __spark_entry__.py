@@ -352,6 +352,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_unigram_lm_score": FL.q_unigram_lm_score,
         # crawl discovery's third channel: Atom feed parse round-trip
         "q_feed_parse": RB.q_feed_parse,
+        # …and the fourth: RSS 2.0 (xml_mode parse — <link> text nests,
+        # unlike under HTML void-element rules)
+        "q_rss_parse": RB.q_rss_parse,
+        # HTTP response-header parse over WARC response records: the
+        # status-dispatch step (redirects/errors/throttles/media types)
+        "q_http_headers": W.q_http_headers,
         # ftfy-class cleanup: latin-1 double-encoding repair, oracle
         # derived closed-form (never corrupts or repairs)
         "q_mojibake_repair": EN.q_mojibake_repair,
@@ -415,6 +421,8 @@ def oracle_sql() -> dict[str, str]:
         "q_wat_export": W.ORACLE_WAT_EXPORT,
         "q_unigram_lm_score": FL.ORACLE_UNIGRAM_LM_SCORE,
         "q_feed_parse": RB.ORACLE_FEED_PARSE,
+        "q_rss_parse": RB.ORACLE_RSS_PARSE,
+        "q_http_headers": W.ORACLE_HTTP_HEADERS,
         "q_mojibake_repair": EN.ORACLE_MOJIBAKE_REPAIR,
         "q_gopher_rules": T.ORACLE_GOPHER_RULES,
         "q_bpe_merge": T.ORACLE_BPE_MERGE,

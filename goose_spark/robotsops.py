@@ -398,3 +398,90 @@ SELECT source,
            AS updated
 FROM documents
 """
+
+
+# RSS 2.0 twin of the Atom probe: the older-but-more-common discovery
+# channel. Unlike Atom, <link> is element TEXT (not an href attribute),
+# identity is <guid>, and dates are RFC-822 <pubDate> — a parser that
+# only handles Atom misreads all three. Synth is closed-form on doc_id
+# (2026-01-01 is a Thursday, so the weekday token is constant and the
+# DuckDB twin needs no calendar math).
+_RSS_XML = (
+    "concat('<?xml version=\"1.0\" encoding=\"UTF-8\"?>"
+    "<rss version=\"2.0\"><channel><title>', source, '</title>',"
+    " array_join(transform(array_sort(collect_list(doc_id)), i -> concat("
+    "   '<item><title>Article ', cast(i as string), '</title>',"
+    "   '<link>https://', source, '.example/d/', cast(i as string),"
+    "   '</link>',"
+    "   '<guid isPermaLink=\"false\">urn:doc:', cast(i as string),"
+    "   '</guid>',"
+    "   '<pubDate>Thu, 01 Jan 2026 ',"
+    "   lpad(cast(i % 24 as string), 2, '0'), ':',"
+    "   lpad(cast(i % 60 as string), 2, '0'),"
+    "   ':00 GMT</pubDate></item>')), ''),"
+    " '</channel></rss>')"
+)
+
+
+def _rss_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from gooselite.minidom import parse_html
+
+    for batch in it:
+        if not len(batch):
+            continue
+        rows = {"source": [], "pos": [], "title": [], "link": [],
+                "guid": [], "pub_date": []}
+        for source, xml in zip(batch["source"], batch["xml"]):
+            # xml_mode: RSS's <link>url</link> is a void element under
+            # HTML rules (text would silently escape the node); html.
+            # parser also lowercases tag names, hence "pubdate".
+            root = parse_html(xml, xml_mode=True)
+            for pos, e in enumerate(root.get_elements_by_tag("item")):
+                t = e.get_elements_by_tag("title")
+                ln = e.get_elements_by_tag("link")
+                g = e.get_elements_by_tag("guid")
+                pd_ = e.get_elements_by_tag("pubdate")
+                rows["source"].append(source)
+                rows["pos"].append(pos)
+                rows["title"].append(t[0].get_text() if t else "")
+                rows["link"].append(ln[0].get_text() if ln else "")
+                rows["guid"].append(g[0].get_text() if g else "")
+                rows["pub_date"].append(pd_[0].get_text() if pd_ else "")
+        yield pd.DataFrame({
+            "source": pd.Series(rows["source"], dtype="object"),
+            "pos": pd.Series(rows["pos"], dtype="int32"),
+            "title": pd.Series(rows["title"], dtype="object"),
+            "link": pd.Series(rows["link"], dtype="object"),
+            "guid": pd.Series(rows["guid"], dtype="object"),
+            "pub_date": pd.Series(rows["pub_date"], dtype="object"),
+        })
+
+
+def q_rss_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RSS 2.0 feed parse round-trip (crawl discovery, the non-Atom
+    half). One synth aggregate per host + one linear mapInPandas parse
+    pass; at crawl scale the synth drops out and the parse pass runs
+    over fetched feed bodies directly."""
+    from pyspark.sql import functions as F
+
+    d = load(spark, sf_dir, "documents")
+    feeds = d.groupBy("source").agg(F.expr(_RSS_XML).alias("xml"))
+    return feeds.mapInPandas(
+        _rss_batches,
+        schema=("source string, pos int, title string, link string,"
+                " guid string, pub_date string"))
+
+
+ORACLE_RSS_PARSE = """
+SELECT source,
+       CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) - 1
+            AS INT) AS pos,
+       'Article ' || CAST(doc_id AS VARCHAR) AS title,
+       'https://' || source || '.example/d/' || CAST(doc_id AS VARCHAR)
+           AS link,
+       'urn:doc:' || CAST(doc_id AS VARCHAR) AS guid,
+       'Thu, 01 Jan 2026 ' || lpad(CAST(doc_id % 24 AS VARCHAR), 2, '0')
+           || ':' || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0')
+           || ':00 GMT' AS pub_date
+FROM documents
+"""

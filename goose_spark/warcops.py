@@ -379,3 +379,108 @@ FROM env
 
 
 ORACLE_WAT_EXPORT = _oracle_wat_export()
+
+
+def _http_responses(doc_id: int, source: str):
+    """Closed-form synthetic HTTP response for a doc: the five shapes a
+    crawler's status-handling path must dispatch on (ok, permanent
+    redirect, not-found, alternate media type, throttle). Every field
+    is a pure function of (doc_id, source) so the DuckDB oracle can
+    recompute the parsed columns exactly."""
+    url = f"https://{source}.example/d/{doc_id}"
+    k = doc_id % 5
+    if k == 0:
+        return (url, b"ok " * (doc_id % 7 + 1), "200 OK",
+                [("Content-Type", "text/html; charset=utf-8")])
+    if k == 1:
+        return (url, b"", "301 Moved Permanently",
+                [("Content-Type", "text/html"),
+                 ("Location", f"https://{source}.example/moved/{doc_id}")])
+    if k == 2:
+        return (url, b"", "404 Not Found",
+                [("Content-Type", "text/html")])
+    if k == 3:
+        return (url, b"ok " * (doc_id % 7 + 1), "200 OK",
+                [("Content-Type", "text/plain; charset=iso-8859-1")])
+    return (url, b"", "503 Service Unavailable",
+            [("Content-Type", "text/html"),
+             ("Retry-After", str(doc_id % 120))])
+
+
+def _http_header_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from gooselite.warc import parse_http_headers, read_warc, write_warc
+
+    for batch in it:
+        if not len(batch):
+            continue
+        pages = [_http_responses(int(i), s)
+                 for i, s in zip(batch["doc_id"], batch["source"])]
+        blob = write_warc(pages, gzip_records=True)
+        rows = {"doc_id": [], "url": [], "status": [], "content_type": [],
+                "charset": [], "location": [], "retry_after": [],
+                "is_redirect": [], "body_len": []}
+        for r in read_warc(blob):
+            if r.rec_type != "response":
+                continue
+            h = parse_http_headers(r.http_headers)
+            ct = h.get("content-type", "")
+            media, _, param = ct.partition(";")
+            charset = ""
+            if "charset=" in param:
+                charset = param.split("charset=", 1)[1].strip()
+            rows["doc_id"].append(int(r.url.rsplit("/", 1)[1]))
+            rows["url"].append(r.url)
+            rows["status"].append(int(r.http_status))
+            rows["content_type"].append(media.strip())
+            rows["charset"].append(charset)
+            rows["location"].append(h.get("location", ""))
+            rows["retry_after"].append(int(h.get("retry-after", -1)))
+            rows["is_redirect"].append(300 <= r.http_status < 400)
+            rows["body_len"].append(len(r.payload))
+        yield pd.DataFrame({
+            "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+            "url": pd.Series(rows["url"], dtype="object"),
+            "status": pd.Series(rows["status"], dtype="int32"),
+            "content_type": pd.Series(rows["content_type"], dtype="object"),
+            "charset": pd.Series(rows["charset"], dtype="object"),
+            "location": pd.Series(rows["location"], dtype="object"),
+            "retry_after": pd.Series(rows["retry_after"], dtype="int32"),
+            "is_redirect": pd.Series(rows["is_redirect"], dtype="bool"),
+            "body_len": pd.Series(rows["body_len"], dtype="int32"),
+        })
+
+
+def q_http_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTTP response-header parse over WARC response records — the
+    status-dispatch step between fetch and extraction (redirect
+    following, error skipping, throttle backoff, media-type routing).
+    One linear mapInPandas pass, no shuffle; at crawl scale the WARC
+    blob arrives per file split and the synth half drops out."""
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", "source").mapInPandas(
+        _http_header_batches,
+        schema=("doc_id long, url string, status int, content_type string,"
+                " charset string, location string, retry_after int,"
+                " is_redirect boolean, body_len int"))
+
+
+ORACLE_HTTP_HEADERS = """
+SELECT doc_id,
+       'https://' || source || '.example/d/' || CAST(doc_id AS VARCHAR)
+           AS url,
+       CAST(CASE doc_id % 5 WHEN 1 THEN 301 WHEN 2 THEN 404
+            WHEN 4 THEN 503 ELSE 200 END AS INT) AS status,
+       CASE doc_id % 5 WHEN 3 THEN 'text/plain' ELSE 'text/html' END
+           AS content_type,
+       CASE doc_id % 5 WHEN 0 THEN 'utf-8' WHEN 3 THEN 'iso-8859-1'
+            ELSE '' END AS charset,
+       CASE doc_id % 5 WHEN 1 THEN 'https://' || source ||
+            '.example/moved/' || CAST(doc_id AS VARCHAR) ELSE '' END
+           AS location,
+       CAST(CASE doc_id % 5 WHEN 4 THEN doc_id % 120 ELSE -1 END AS INT)
+           AS retry_after,
+       doc_id % 5 = 1 AS is_redirect,
+       CAST(CASE WHEN doc_id % 5 IN (0, 3) THEN 3 * (doc_id % 7 + 1)
+            ELSE 0 END AS INT) AS body_len
+FROM documents
+"""

@@ -305,7 +305,8 @@ _IMPLIED_CLOSE: dict[str, tuple[frozenset[str], frozenset[str]]] = {
 
 
 class _TreeBuilder(HTMLParser):
-    def __init__(self, keep_raw_text: bool = False) -> None:
+    def __init__(self, keep_raw_text: bool = False,
+                 xml_mode: bool = False) -> None:
         super().__init__(convert_charrefs=True)
         self.root = Node(DOCUMENT)
         self.stack: list[Node] = [self.root]
@@ -313,6 +314,11 @@ class _TreeBuilder(HTMLParser):
         # needs <script type="application/ld+json"> payloads); the
         # extraction pipeline keeps the default skip
         self.keep_raw_text = keep_raw_text
+        # opt-in: XML semantics — no HTML void elements and no
+        # implied-close recovery. RSS's <link>url</link> is a void
+        # element in HTML, so feed parsing under HTML rules silently
+        # drops the link text out of the node; feeds are XML.
+        self.xml_mode = xml_mode
 
     # helpers -----------------------------------------------------------------
     def _top(self) -> Node:
@@ -339,6 +345,11 @@ class _TreeBuilder(HTMLParser):
 
     # HTMLParser callbacks ----------------------------------------------------
     def handle_starttag(self, tag: str, attrs) -> None:
+        if self.xml_mode:
+            node = Node(tag, self._attrs_to_dict(attrs))
+            self._top().append(node)
+            self.stack.append(node)
+            return
         if tag in P_CLOSING_TAGS:
             self._close_implied(frozenset(("p",)), _SCOPE_BOUNDARY)
         implied = _IMPLIED_CLOSE.get(tag)
@@ -354,7 +365,7 @@ class _TreeBuilder(HTMLParser):
         self._top().append(node)
 
     def handle_endtag(self, tag: str) -> None:
-        if tag in VOID_ELEMENTS:
+        if tag in VOID_ELEMENTS and not self.xml_mode:
             return
         for i in range(len(self.stack) - 1, 0, -1):
             if self.stack[i].tag == tag:
@@ -390,12 +401,15 @@ class _TreeBuilder(HTMLParser):
         pass
 
 
-def parse_html(text: str, keep_raw_text: bool = False) -> Node:
+def parse_html(text: str, keep_raw_text: bool = False,
+               xml_mode: bool = False) -> Node:
     """Parse an HTML string into a mini-DOM; raises ParseError on
     unrecoverable parser failures (rare — html.parser is lenient).
     ``keep_raw_text=True`` retains script/style text nodes (JSON-LD
-    harvesting); the extraction pipeline uses the default skip."""
-    builder = _TreeBuilder(keep_raw_text)
+    harvesting); the extraction pipeline uses the default skip.
+    ``xml_mode=True`` disables the HTML void-element and implied-close
+    recovery (RSS/sitemap/feed XML, where <link>…</link> must nest)."""
+    builder = _TreeBuilder(keep_raw_text, xml_mode)
     try:
         builder.feed(text)
         builder.close()

@@ -31,6 +31,7 @@ class WarcRecord(NamedTuple):
     date: Optional[str]    # WARC-Date if present
     http_status: Optional[int]  # for HTTP-message bodies
     payload: bytes         # HTTP body for request/response; raw block else
+    http_headers: Optional[bytes] = None  # raw HTTP header block (response)
 
 
 def _record_bytes(headers: List[tuple], block: bytes) -> bytes:
@@ -59,14 +60,22 @@ def write_warc(pages, warc_date: str = "2026-01-01T00:00:00Z",
         records.append(_record_bytes(
             [("WARC-Type", "warcinfo"), ("WARC-Date", warc_date),
              ("Content-Type", "application/warc-fields")], info))
-    for url, payload in pages:
+    for page in pages:
+        # (url, payload) or (url, payload, status_line, extra_headers) —
+        # the long form lets crawl probes synthesize non-200 responses
+        # (redirects, errors, throttles) with realistic header sets.
+        url, payload = page[0], page[1]
+        status_line = page[2] if len(page) > 2 else "200 OK"
+        extra = list(page[3]) if len(page) > 3 else \
+            [("Content-Type", "text/html; charset=utf-8")]
         if with_requests:
             req = (f"GET {url} HTTP/1.1\r\nHost: example.com\r\n\r\n").encode()
             records.append(_record_bytes(
                 [("WARC-Type", "request"), ("WARC-Date", warc_date),
                  ("WARC-Target-URI", url),
                  ("Content-Type", "application/http; msgtype=request")], req))
-        http = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n"
+        head = b"".join(f"{k}: {v}".encode() + _CRLF for k, v in extra)
+        http = (f"HTTP/1.1 {status_line}".encode() + _CRLF + head
                 + f"Content-Length: {len(payload)}".encode() + _CRLF + _CRLF
                 + payload)
         records.append(_record_bytes(
@@ -176,7 +185,7 @@ def read_warc(b: bytes) -> List[WarcRecord]:
             raise ValueError("record body truncated")
         block = raw[body_at:body_at + length]
         rec_type = fields.get("warc-type", "unknown")
-        status, payload = None, block
+        status, payload, http_head = None, block, None
         first_line = block.split(_CRLF, 1)[0]
         # HTTP message: status line (HTTP/1.1 200 OK) or request line
         # (GET <uri> HTTP/1.1) — version token leads or trails.
@@ -185,18 +194,38 @@ def read_warc(b: bytes) -> List[WarcRecord]:
             sep = block.find(_CRLF + _CRLF)
             if sep >= 0:
                 payload = block[sep + 4:]
+                http_head = block[:sep]
                 first = first_line.split(b" ")
                 if rec_type == "response" and len(first) >= 2 \
                         and first[1].isdigit():
                     status = int(first[1])
         records.append(WarcRecord(rec_type, fields.get("warc-target-uri"),
-                                  fields.get("warc-date"), status, payload))
+                                  fields.get("warc-date"), status, payload,
+                                  http_head))
         pos = body_at + length
         if raw[pos:pos + 4] == _CRLF + _CRLF:
             pos += 4
         elif pos != len(raw):
             raise ValueError("missing record separator")
     return records
+
+
+def parse_http_headers(head: Optional[bytes]) -> dict:
+    """Parse a raw HTTP header block (status line + CRLF header lines)
+    into a lowercase-keyed dict. Duplicate field names are joined with
+    ", " per RFC 9110 §5.2 list-combination; malformed lines (no colon)
+    are skipped. Returns {} for None/empty input."""
+    out: dict = {}
+    if not head:
+        return out
+    for line in head.split(_CRLF)[1:]:
+        k, sep, v = line.partition(b":")
+        if not sep or not k.strip():
+            continue
+        key = k.strip().lower().decode("latin-1")
+        val = v.strip().decode("latin-1")
+        out[key] = out[key] + ", " + val if key in out else val
+    return out
 
 
 def read_warc_safe(b) -> Optional[List[WarcRecord]]:

@@ -95,3 +95,22 @@ def test_deep_nesting_no_recursion_error():
     html = "<div>" * 5000 + "deep" + "</div>" * 5000
     root = parse_html(html)
     assert "deep" in " ".join(root.itertext())
+
+
+def test_xml_mode_void_elements_nest():
+    from gooselite.minidom import parse_html
+
+    xml = ("<channel><item><link>https://e/d/1</link>"
+           "<guid>g1</guid></item></channel>")
+    # HTML rules: <link> is void, its text escapes the node
+    html_link = parse_html(xml).get_elements_by_tag("link")[0]
+    assert html_link.get_text() == ""
+    # XML rules: the text nests and the end tag closes the element
+    root = parse_html(xml, xml_mode=True)
+    item = root.get_elements_by_tag("item")[0]
+    assert item.get_elements_by_tag("link")[0].get_text() == "https://e/d/1"
+    assert item.get_elements_by_tag("guid")[0].get_text() == "g1"
+    # no implied-close recovery in xml_mode: <p> inside <p> nests
+    nested = parse_html("<p>a<p>b</p></p>", xml_mode=True)
+    outer = nested.get_elements_by_tag("p")[0]
+    assert outer.get_text().replace(" ", "") == "ab"

@@ -178,3 +178,52 @@ def test_salvage_drops_only_corrupt_members_and_counts():
     # memoryview input parses identically to bytes
     recs6, bad6 = read_warc_salvage(memoryview(clean))
     assert len(recs6) == len(recs2) and bad6 == 0
+
+
+def test_varied_status_responses_and_header_parse():
+    from gooselite.warc import parse_http_headers, read_warc, write_warc
+
+    pages = [
+        ("https://e/d/0", b"body0"),  # legacy 2-tuple → 200 text/html
+        ("https://e/d/1", b"", "301 Moved Permanently",
+         [("Content-Type", "text/html"), ("Location", "https://e/moved/1")]),
+        ("https://e/d/2", b"", "503 Service Unavailable",
+         [("Retry-After", "30")]),
+    ]
+    recs = [r for r in read_warc(write_warc(pages))
+            if r.rec_type == "response"]
+    assert [r.http_status for r in recs] == [200, 301, 503]
+    h0 = parse_http_headers(recs[0].http_headers)
+    assert h0["content-type"] == "text/html; charset=utf-8"
+    assert recs[0].payload == b"body0"
+    h1 = parse_http_headers(recs[1].http_headers)
+    assert h1["location"] == "https://e/moved/1"
+    assert recs[1].payload == b""
+    h2 = parse_http_headers(recs[2].http_headers)
+    assert h2["retry-after"] == "30"
+    # request records carry their header block too; warcinfo has none
+    all_recs = read_warc(write_warc(pages))
+    assert all_recs[0].rec_type == "warcinfo"
+    assert all_recs[0].http_headers is None
+    req = next(r for r in all_recs if r.rec_type == "request")
+    assert parse_http_headers(req.http_headers)["host"] == "example.com"
+
+
+def test_parse_http_headers_edge_cases():
+    from gooselite.warc import parse_http_headers
+
+    assert parse_http_headers(None) == {}
+    assert parse_http_headers(b"") == {}
+    # duplicates join per RFC 9110 list-combination; malformed lines
+    # (no colon, empty name) are skipped; names lowercase
+    head = (b"HTTP/1.1 200 OK\r\n"
+            b"Set-Cookie: a=1\r\n"
+            b"SET-COOKIE: b=2\r\n"
+            b"garbage line without colon\r\n"
+            b": novalue\r\n"
+            b"X-Empty:\r\n")
+    h = parse_http_headers(head)
+    assert h["set-cookie"] == "a=1, b=2"
+    assert h["x-empty"] == ""
+    assert "garbage line without colon" not in str(h)
+    assert len(h) == 2
