@@ -72,9 +72,11 @@ def _remove_drop_caps(root: Node) -> None:
 
 
 def _remove_scripts_styles_comments(root: Node) -> None:
-    doomed = root.get_elements_by_tag("script") + root.get_elements_by_tag("style")
-    doomed += [n for n in root.iter_nodes() if n.tag == COMMENT]
-    remove_all(doomed)
+    # one multi-tag walk == get_elements_by_tag("script") +
+    # get_elements_by_tag("style") + the comment filter: the bucket walk
+    # matches on node.tag (comments carry the #comment pseudo-tag) and
+    # concatenates per tag group, so the doomed order is unchanged
+    remove_all(root.get_elements_by_tag("script", "style", COMMENT))
 
 
 def _clean_para_spans(root: Node) -> None:

@@ -151,9 +151,15 @@ class Node:
             want = tags[0]
             out: list[Node] = []
             kids = self.children
-            # leaf-ish fast path: typical <p> holds only text nodes
-            if len(kids) == 1 and not kids[0].children:
-                return [kids[0]] if kids[0].tag == want else []
+            # leaf fast path: the per-candidate callers (link density's
+            # <a> scan, para-span unwrap) hit <p> nodes whose children
+            # are all leaves — a plain filter beats the stack walk and
+            # preserves document order exactly
+            for k in kids:
+                if k.children:
+                    break
+            else:
+                return [k for k in kids if k.tag == want]
             stack = list(reversed(kids))
             pop, push, append = stack.pop, stack.extend, out.append
             while stack:
