@@ -361,6 +361,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ftfy-class cleanup: latin-1 double-encoding repair, oracle
         # derived closed-form (never corrupts or repairs)
         "q_mojibake_repair": EN.q_mojibake_repair,
+        # crawl hygiene: soft-404 detection (error pages served as 200) —
+        # phrase evidence + stub-length gate, pure codegen
+        "q_soft404": FL.q_soft404,
     }
 
 
@@ -424,6 +427,7 @@ def oracle_sql() -> dict[str, str]:
         "q_rss_parse": RB.ORACLE_RSS_PARSE,
         "q_http_headers": W.ORACLE_HTTP_HEADERS,
         "q_mojibake_repair": EN.ORACLE_MOJIBAKE_REPAIR,
+        "q_soft404": FL.ORACLE_SOFT404,
         "q_gopher_rules": T.ORACLE_GOPHER_RULES,
         "q_bpe_merge": T.ORACLE_BPE_MERGE,
         "q_jsonld_extract": ST.ORACLE_JSONLD_EXTRACT,

@@ -781,3 +781,65 @@ SELECT doc_id, COUNT(*) AS n_tokens,
        CAST(SUM(s) AS BIGINT) * 1000 // COUNT(*) AS bits_x1000
 FROM s GROUP BY doc_id
 """
+
+
+def q_soft404(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft-404 detection — the crawl-hygiene gate for error pages served
+    with status 200 (a large, well-documented fraction of real crawl
+    responses): phrase evidence ("page not found" / "404 error" /
+    "no longer available", case-folded contains — no regex dialect to
+    disagree on cross-engine) OR a stub-length page (< 20 whitespace
+    tokens, the q_token_count expression both engines already conform
+    on). Pure codegen scan→project, zero shuffles; at crawl scale this
+    runs beside the gopher gate in the same pass. Phrase arms are kept
+    live by decorating a deterministic doc_id slice with each phrase —
+    the decoration is shared verbatim with the oracle, while the
+    CLASSIFIER columns are recomputed independently per engine."""
+    d = load(spark, sf_dir, "documents")
+    body = F.when(F.col("doc_id") % 41 == 0,
+                  F.concat(F.lit("Oops — Page Not Found. "), F.col("text")))\
+        .when(F.col("doc_id") % 43 == 0,
+              F.concat(F.col("text"), F.lit(" [404 Error]")))\
+        .when(F.col("doc_id") % 47 == 0,
+              F.lit("This content is no longer available."))\
+        .otherwise(F.col("text"))
+    low = F.lower(body)
+    phrase = (low.contains("page not found")
+              | low.contains("404 error")
+              | low.contains("no longer available"))
+    n_tokens = F.size(F.split(F.trim(body), r"\s+"))
+    stub = n_tokens < 20
+    return d.select(
+        "doc_id",
+        phrase.alias("has_soft404_phrase"),
+        stub.alias("is_stub"),
+        (phrase | stub).alias("soft404"),
+        n_tokens.alias("n_tokens"),
+    )
+
+
+ORACLE_SOFT404 = """
+WITH b AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 41 = 0
+                THEN 'Oops — Page Not Found. ' || text
+              WHEN doc_id % 43 = 0 THEN text || ' [404 Error]'
+              WHEN doc_id % 47 = 0
+                THEN 'This content is no longer available.'
+              ELSE text END AS body
+  FROM documents),
+f AS (
+  SELECT doc_id,
+         (contains(lower(body), 'page not found')
+          OR contains(lower(body), '404 error')
+          OR contains(lower(body), 'no longer available'))
+             AS has_soft404_phrase,
+         CAST(len(string_split_regex(trim(body), '\\s+')) AS INT)
+             AS n_tokens
+  FROM b)
+SELECT doc_id, has_soft404_phrase,
+       n_tokens < 20 AS is_stub,
+       has_soft404_phrase OR n_tokens < 20 AS soft404,
+       n_tokens
+FROM f
+"""

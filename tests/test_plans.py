@@ -465,3 +465,24 @@ def test_unigram_lm_vocab_topv_and_broadcast(spark):
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastHashJoin" in plan
     assert "Window" not in plan.split("\n\n")[0]
+
+
+def test_soft404_codegen_no_shuffle_and_live_arms(spark):
+    from pyspark.sql import functions as F
+
+    from goose_spark import filterops as FL
+
+    df = FL.q_soft404(spark, SF)
+    plan = _plan(df)
+    tree = plan.split("\n\n")[0]
+    assert "EvalPython" not in plan      # contains/split are all JVM
+    assert "Exchange" not in tree        # scan → project, zero shuffles
+    assert "* Project" in tree           # whole-stage codegen
+    # every decoration arm is live at sf0.01 AND the classifier fires
+    # on each phrase class (else the probe gates nothing)
+    agg = df.agg(
+        F.sum(F.when(F.col("has_soft404_phrase"), 1).otherwise(0)),
+        F.sum(F.when(F.col("is_stub"), 1).otherwise(0)),
+        F.sum(F.when(~F.col("soft404"), 1).otherwise(0)),
+    ).collect()[0]
+    assert agg[0] > 0 and agg[1] > 0 and agg[2] > 0
